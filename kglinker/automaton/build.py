@@ -1,0 +1,207 @@
+"""Dictionary automaton: build once on the driver, broadcast to executors.
+
+Spark-native replacement for the reference's double-array-trie automaton
+(cedar/darts, ``/root/reference/figa/sources/figa_cedar.h:21-22``, build
+``figa/sources/main.cpp:189-210``) + POSIX-shared-memory KB
+(``SharedKB/var2/main.c:352-381``): the namelist DataFrame is collected to
+the driver (the KB is the *small* side — 10^6..10^8 surfaces vs 10^12
+turns), compiled into a char-trie, and ``sc.broadcast()`` ships exactly one
+copy per executor, resident for the application lifetime — the same
+one-copy-per-machine property the reference gets from shm, without the
+daemon (``ner_knowledge_base.py:431-506``).
+
+Matching semantics (M1/M2/M7 of SURVEY §2.5): greedy **leftmost-longest
+non-overlapping** dictionary match anchored at token starts, match end
+required at a token boundary — equivalent to figa's word-by-word trie
+traversal with longest-prefix backtracking and queue-clearing restart
+(``figa_cedar.tpp:906-1069``, ``:603-615``) followed by ner_cz's
+``remove_shorter_entities`` (``ner_cz.py:1528-1540``). Offsets are 0-based
+character offsets, half-open — the reference's post--1-fix convention
+(``ner_cz.py:1481``).
+
+If the C-backed ``pyahocorasick`` is importable it is used for the scan
+hot loop; otherwise a pure-Python trie walk (O(tokens × max_key_len)).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+try:  # optional C-accelerated scan path
+    import ahocorasick as _ahc  # type: ignore
+except Exception:  # pragma: no cover - not present in this container
+    _ahc = None
+
+__all__ = ["Automaton", "Match", "KBArtifacts", "build_artifacts",
+           "broadcast_artifacts"]
+
+_PAYLOAD = "\0"  # terminal-payload key inside trie nodes (never a text char)
+
+
+@dataclass(frozen=True)
+class Match:
+    start: int          # 0-based char offset
+    end: int            # half-open
+    surface: str
+    kb_ids: tuple[int, ...]   # confidence-desc ordered (A2)
+    is_fragment: bool
+
+
+def _is_word(c: str) -> bool:
+    return c.isalnum()
+
+
+class Automaton:
+    """Char-trie over namelist surfaces with (kb_ids, is_fragment) payloads."""
+
+    def __init__(self, entries: dict[str, tuple[tuple[int, ...], bool]]):
+        root: dict = {}
+        for surface, payload in entries.items():
+            node = root
+            for ch in surface:
+                node = node.setdefault(ch, {})
+            node[_PAYLOAD] = payload
+        self._root = root
+        self._entries = entries
+        self._ahc = None
+        if _ahc is not None:
+            a = _ahc.Automaton()
+            for s, p in entries.items():
+                a.add_word(s, (len(s), p))
+            a.make_automaton()
+            self._ahc = a
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def __contains__(self, surface: str) -> bool:
+        return surface in self._entries
+
+    def get(self, surface: str):
+        return self._entries.get(surface)
+
+    # -- M1: token starts (offsets in unicode chars, figa_cedar.tpp:941-1013)
+    @staticmethod
+    def token_starts(text: str) -> list[int]:
+        starts = []
+        prev_word = False
+        for i, c in enumerate(text):
+            w = _is_word(c)
+            if w and not prev_word:
+                starts.append(i)
+            prev_word = w
+        return starts
+
+    def find_matches(self, text: str) -> list[Match]:
+        """Leftmost-longest non-overlapping dictionary matches (M2+M7)."""
+        n = len(text)
+        out: list[Match] = []
+        pos = 0
+        root = self._root
+        for s in self.token_starts(text):
+            if s < pos:
+                continue  # inside an accepted match: non-overlap restart
+            node = root
+            best_end = -1
+            best_payload = None
+            j = s
+            while j < n:
+                node = node.get(text[j])
+                if node is None:
+                    break
+                j += 1
+                payload = node.get(_PAYLOAD)
+                if payload is not None and (j == n or not _is_word(text[j])):
+                    best_end, best_payload = j, payload
+            if best_payload is not None:
+                out.append(Match(s, best_end, text[s:best_end],
+                                 best_payload[0], best_payload[1]))
+                pos = best_end
+        return out
+
+
+@dataclass
+class KBArtifacts:
+    """Everything the per-conversation extraction UDF needs, in one
+    broadcast: the automaton plus the KB projections used by
+    disambiguation/coref — the hand-done column pruning the reference
+    applies before shm load (SURVEY §4)."""
+    automaton: Automaton
+    # kb_id → {type, name, gender, confidence, nationality: tuple,
+    #          dates: tuple, jobs: tuple, wiki_url, country, location}
+    kb_meta: dict[int, dict]
+    subname_map: dict[str, tuple[int, ...]]   # D7 people_named
+    nationality_forms: frozenset[str]
+    pronouns_male: frozenset[str]
+    pronouns_female: frozenset[str]
+    stop_surfaces: frozenset[str] = field(default_factory=frozenset)
+
+    def dumps(self) -> bytes:
+        return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def build_artifacts(kb_scored_rows: list[dict],
+                    namelist_rows: list[dict],
+                    subname_rows: list[dict]) -> KBArtifacts:
+    """Compile collected DataFrames into the broadcast payload.
+
+    ``kb_scored_rows``: dicts with the KB projection columns;
+    ``namelist_rows``: (surface, kb_ids, is_fragment);
+    ``subname_rows``: (subname, kb_ids).
+    """
+    from kglinker.data.wordlists import (PRONOUNS_FEMALE, PRONOUNS_MALE)
+    from kglinker.kb.names import nationality_forms
+
+    entries = {
+        r["surface"]: (tuple(int(i) for i in (r["kb_ids"] or [])),
+                       bool(r["is_fragment"]))
+        for r in namelist_rows
+    }
+    meta: dict[int, dict] = {}
+    for r in kb_scored_rows:
+        def _multi(key: str) -> tuple[str, ...]:
+            v = r.get(key) or ""
+            return tuple(x for x in v.split("|") if x)
+        meta[int(r["kb_id"])] = {
+            "type": r["type"],
+            "name": r["name"],
+            "gender": r.get("gender") or "",
+            "confidence": float(r.get("confidence") or 0.0),
+            "nationality": _multi("nationality"),
+            "jobs": _multi("jobs"),
+            "dates": tuple(d for d in (r.get("date_of_birth"), r.get("date_of_death"),
+                                       r.get("founded"), r.get("start"), r.get("end"))
+                           if d),
+            "wiki_url": r.get("wiki_url") or "",
+            "country": r.get("country") or "",
+            "location": r.get("location") or "",
+        }
+    sub = {r["subname"]: tuple(int(i) for i in r["kb_ids"]) for r in subname_rows}
+    pron_m = frozenset({p for b in PRONOUNS_MALE for p in (b, b[:1].upper() + b[1:])})
+    pron_f = frozenset({p for b in PRONOUNS_FEMALE for p in (b, b[:1].upper() + b[1:])})
+    return KBArtifacts(
+        automaton=Automaton(entries),
+        kb_meta=meta,
+        subname_map=sub,
+        nationality_forms=frozenset(nationality_forms()),
+        pronouns_male=pron_m,
+        pronouns_female=pron_f,
+    )
+
+
+def broadcast_artifacts(spark, kb_scored, namelist, subnames):
+    """Collect the three build outputs and broadcast the compiled payload.
+
+    One collect per KB snapshot (reference: automaton rebuilt per KB update,
+    ``figa/make_automat/README.md:1``); at 10^8-surface scale switch the
+    collect to ``toLocalIterator`` + on-disk trie, the broadcast call is
+    unchanged."""
+    kb_cols = ["kb_id", "type", "name", "gender", "confidence", "nationality",
+               "jobs", "date_of_birth", "date_of_death", "founded", "start",
+               "end", "wiki_url", "country", "location"]
+    kb_rows = [r.asDict() for r in kb_scored.select(*kb_cols).collect()]
+    nl_rows = [r.asDict() for r in namelist.collect()]
+    sub_rows = [r.asDict() for r in subnames.collect()]
+    art = build_artifacts(kb_rows, nl_rows, sub_rows)
+    return spark.sparkContext.broadcast(art)

@@ -1,0 +1,197 @@
+"""Namelist (surface-form dictionary) builder — SURVEY §2.2 P1–P7,
+§2.3 G1–G11, §2.4 A1–A2.
+
+Spark re-expression of ``create_cedar.sh`` → ``KB2namelist.py`` →
+``uniq_namelist.py``: the alias/redirect explode and tag-stripping are
+Column expressions (P1/P3/P4 → ``explode``/``regexp_replace``, Catalyst
+prunes + pushes them down); the irregular generators (G1–G9) run as one
+Arrow-batched pandas UDF over the (small) KB; the A1 group-merge and A2
+confidence ordering are a single ``groupBy(surface)`` with a
+``sort_array(struct(-confidence, kb_id))`` — exactly the reference's
+"order candidate ids by KB CONFIDENCE desc, fragment sentinel last"
+(``uniq_namelist.py:52-104``).
+
+Scale: the KB is the *small* side of this engine (10^6–10^8 rows vs 10^12
+turns). The namelist build is a one-shuffle batch job whose output is
+collected to the driver once per KB snapshot to compile the matching
+automaton (see :mod:`kglinker.automaton.build`) — the Spark analogue of the
+reference's offline ``create_cedar.sh`` automaton compilation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kglinker.data.wordlists import (ALLOWLIST, NATIONALITIES, PRONOUNS,
+                                     STOPLIST)
+from kglinker.kb import expand as X
+
+__all__ = ["build_namelist", "build_subname_map", "nationality_forms"]
+
+_VARIANT_SCHEMA = T.ArrayType(T.StringType())
+
+
+def nationality_forms() -> set[str]:
+    """All P7 nationality variants (natToKB.py:12-30)."""
+    return {v for n in NATIONALITIES for v in X.nationality_variants(n)} | set(NATIONALITIES)
+
+
+def _stop_variants() -> set[str]:
+    """Stoplist expanded by capitalization variants (create_cedar.sh:158-165)."""
+    out = set()
+    for s in STOPLIST:
+        out.update({s, s.lower(), s.upper(), s[:1].upper() + s[1:].lower()})
+    return out
+
+
+@F.pandas_udf(_VARIANT_SCHEMA)
+def _gen_variants(name: pd.Series, etype: pd.Series) -> pd.Series:
+    """G1–G7 variant generation, Arrow-batched (SURVEY §2.10.2)."""
+    out = []
+    for n, t in zip(name, etype):
+        base = t.split(":")[0] if t else ""
+        if base == "person":
+            out.append(X.person_variants(n))
+        elif base in ("organisation", "event"):
+            out.append(X.org_event_variants(n, base))
+        else:
+            out.append([])
+    return pd.Series(out)
+
+
+@F.pandas_udf(_VARIANT_SCHEMA)
+def _gen_subnames(name: pd.Series) -> pd.Series:
+    """G9 fragment extraction, Arrow-batched."""
+    return pd.Series([X.subnames(n) for n in name])
+
+
+@F.pandas_udf(T.BooleanType())
+def _unsuitable(surface: pd.Series, etype: pd.Series) -> pd.Series:
+    """P2 filter (KB2namelist.py:210-250) with allow-list bypass."""
+    allow = frozenset(ALLOWLIST)
+    return pd.Series([X.is_unsuitable(s, t or "", allow)
+                      for s, t in zip(surface, etype)])
+
+
+def _base_surfaces(kb: DataFrame) -> DataFrame:
+    """P1: NAME + ALIASES + REDIRECTS → one row per surface form, with
+    ``#lang=``/``#ntype=`` tags stripped (KB2namelist.py:146-165) and
+    whitespace normalized (P3). Pure Column expressions → codegen."""
+    surfaces = F.array_union(
+        F.array(F.col("name")),
+        F.array_union(
+            F.split(F.coalesce(F.col("aliases"), F.lit("")), r"\|"),
+            F.split(F.coalesce(F.col("redirects"), F.lit("")), r"\|"),
+        ),
+    )
+    return (kb
+            .select("kb_id", "type", F.explode(surfaces).alias("raw"))
+            .withColumn("surface", F.trim(F.regexp_replace(
+                F.regexp_replace("raw", r"#(?:lang|ntype)=[^#|]*", ""),
+                r"\s+", " ")))
+            .filter(F.col("surface") != "")
+            .drop("raw"))
+
+
+def build_namelist(kb_scored: DataFrame,
+                   word_freq: DataFrame | None = None) -> DataFrame:
+    """KB (with ``confidence``) → namelist
+    ``(surface, kb_ids: array<long> conf-desc-ordered, is_fragment: bool)``.
+
+    ``word_freq`` (optional ``(word, freq)``) gates G10 bare-surname direct
+    entries by capital dominance (KB2namelist.py:452-474); when absent every
+    capitalized surname is treated as dominant.
+    """
+    base = _base_surfaces(kb_scored)
+
+    variants = (kb_scored
+                .select("kb_id", "type",
+                        F.explode(_gen_variants("name", "type")).alias("surface")))
+
+    direct = (base.select("kb_id", "type", "surface")
+              .unionByName(variants)
+              .filter(~_unsuitable("surface", "type"))
+              .withColumn("is_fragment", F.lit(False)))
+
+    # G9 subnames → fragment rows (sentinel N, uniq_namelist.py:101-104);
+    # kb_id kept null here — fragment→candidate mapping lives in the
+    # separate subname map (D7), exactly like the reference's namedict.
+    persons = kb_scored.filter(F.col("type").startswith("person"))
+    frag = (persons
+            .select(F.explode(_gen_subnames("name")).alias("surface"))
+            .withColumn("kb_id", F.lit(None).cast("long"))
+            .withColumn("type", F.lit("person"))
+            .withColumn("is_fragment", F.lit(True)))
+
+    # G10: bare surname as a *direct* entry when confidence ≥ 20 (person) /
+    # ≥ 15 (fictional) and capital-dominant (KB2namelist.py:452-474).
+    thresh = F.when(F.col("type") == "person:fictional", F.lit(15.0)).otherwise(F.lit(20.0))
+    surname = (persons
+               .withColumn("surface", F.element_at(F.split("name", " "), -1))
+               .filter((F.length("surface") >= 2)
+                       & (F.substring("surface", 1, 1) == F.initcap(F.substring("surface", 1, 1)))
+                       & (F.col("confidence") >= thresh))
+               .select("kb_id", "type", "surface")
+               .withColumn("is_fragment", F.lit(False)))
+    if word_freq is not None:
+        # capital dominance: freq(Capitalized) / Σ case-insensitive > 0.5
+        tot = word_freq.groupBy(F.lower("word").alias("lw")).agg(F.sum("freq").alias("tot"))
+        cap = (word_freq.join(tot, F.lower("word") == F.col("lw"))
+               .filter(F.col("freq") / F.col("tot") > 0.5)
+               .select(F.col("word").alias("surface")))
+        surname = surname.join(F.broadcast(cap), "surface", "left_semi")
+
+    # G11 pronouns + P7 nationality forms → fragment, senseless rows
+    spark = kb_scored.sparkSession
+    extra = spark.createDataFrame(
+        [(p, None, "pronoun", True) for p in
+         sorted({w for p in PRONOUNS for w in (p, p[:1].upper() + p[1:])})]
+        + [(n, None, "nationality", True) for n in sorted(nationality_forms())],
+        "surface string, kb_id long, type string, is_fragment boolean")
+
+    all_rows = (direct.select("surface", "kb_id", "type", "is_fragment")
+                .unionByName(frag.select("surface", "kb_id", "type", "is_fragment"))
+                .unionByName(surname.select("surface", "kb_id", "type", "is_fragment"))
+                .unionByName(extra))
+
+    # P6 stoplist: demote to fragment-only (uniq_namelist.py:33-39)
+    stop = sorted(_stop_variants())
+    all_rows = all_rows.withColumn(
+        "kb_id", F.when(F.col("surface").isin(stop), F.lit(None)).otherwise(F.col("kb_id"))
+    ).withColumn(
+        "is_fragment", F.when(F.col("surface").isin(stop), F.lit(True)).otherwise(F.col("is_fragment")))
+
+    # A1 group-merge + A2 confidence-desc candidate ordering
+    conf = kb_scored.select("kb_id", "confidence")
+    merged = (all_rows
+              .join(F.broadcast(conf), "kb_id", "left")
+              .groupBy("surface")
+              .agg(
+                  F.array_distinct(F.transform(
+                      F.array_sort(F.collect_list(
+                          F.when(F.col("kb_id").isNotNull(),
+                                 F.struct((-F.coalesce("confidence", F.lit(0.0))).alias("negconf"),
+                                          F.col("kb_id").alias("id"))))),
+                      lambda s: s["id"])).alias("kb_ids"),
+                  F.max(F.col("is_fragment").cast("int")).cast("boolean").alias("is_fragment"),
+              ))
+    return merged
+
+
+def build_subname_map(kb_scored: DataFrame) -> DataFrame:
+    """D7 coref support: subname → confidence-desc-ordered person kb_ids —
+    the reference's pickled ``namedict`` / ``people_named``
+    (``ner_knowledge_base.py:103-167``). Broadcast next to the automaton."""
+    persons = kb_scored.filter(F.col("type").startswith("person"))
+    return (persons
+            .select("kb_id", "confidence",
+                    F.explode(_gen_subnames("name")).alias("subname"))
+            .groupBy("subname")
+            .agg(F.array_distinct(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct((-F.col("confidence")).alias("negconf"),
+                             F.col("kb_id").alias("id")))),
+                lambda s: s["id"])).alias("kb_ids")))

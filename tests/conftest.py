@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from kglinker.runtime.session import get_spark
+    s = get_spark("kglinker-tests", cores=4, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def kb_scored(spark):
+    from kglinker.data.kb_fixture import kb_df
+    from kglinker.kb.scoring import score_kb
+    return score_kb(kb_df(spark)).cache()
+
+
+@pytest.fixture(scope="session")
+def artifacts(spark, kb_scored):
+    """Compiled KB artifacts (local object, not broadcast)."""
+    from kglinker.automaton.build import build_artifacts
+    from kglinker.kb.names import build_namelist, build_subname_map
+    nl = build_namelist(kb_scored)
+    sub = build_subname_map(kb_scored)
+    kb_cols = ["kb_id", "type", "name", "gender", "confidence", "nationality",
+               "jobs", "date_of_birth", "date_of_death", "founded", "start",
+               "end", "wiki_url", "country", "location"]
+    return build_artifacts(
+        [r.asDict() for r in kb_scored.select(*kb_cols).collect()],
+        [r.asDict() for r in nl.collect()],
+        [r.asDict() for r in sub.collect()],
+    )
+
+
+@pytest.fixture(scope="session")
+def artifacts_bcast(spark, artifacts):
+    return spark.sparkContext.broadcast(artifacts)

@@ -1,0 +1,58 @@
+"""Distributed-vs-single-process parity (SURVEY §5 pipeline-parity tests):
+the Spark ``applyInPandas`` extraction over the synthetic transcripts must
+equal the single-process oracle row-for-row, and the per-turn text equality
+invariant must hold after reassembly."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from kglinker.data.transcripts import transcripts_df, transcripts_pdf
+from kglinker.extract.stage import annotate_pdf, extract_mentions
+
+N_CONVS = 60
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["kb_id"] = df["kb_id"].astype("float64")
+    return (df.sort_values(["conv_id", "turn_idx", "start"])
+            .reset_index(drop=True)
+            [["conv_id", "turn_idx", "start", "end", "mention_type",
+              "surface", "kb_id", "resolved"]])
+
+
+def test_generator_determinism(spark):
+    a = transcripts_df(spark, 10).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = transcripts_pdf(10).sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_spark_matches_oracle(spark, artifacts, artifacts_bcast):
+    tdf = transcripts_df(spark, N_CONVS)
+    got = _norm(extract_mentions(tdf, artifacts_bcast, num_partitions=8).toPandas())
+    want = _norm(annotate_pdf(transcripts_pdf(N_CONVS), artifacts))
+    assert len(want) > 100, "fixture should produce a meaningful mention count"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_per_turn_text_equality(spark):
+    """Reassembling a conversation under (conv_id, turn_idx) ordering yields
+    byte-identical per-turn text (input_hint invariant)."""
+    tdf = transcripts_df(spark, 20)
+    rows = tdf.orderBy("conv_id", "turn_idx").collect()
+    oracle = transcripts_pdf(20).sort_values(["conv_id", "turn_idx"])
+    for r, (_, o) in zip(rows, oracle.iterrows()):
+        assert r["text"] == o["text"]
+        assert r["conv_id"] == o["conv_id"] and r["turn_idx"] == o["turn_idx"]
+
+
+def test_mention_surfaces_are_text_substrings(spark, artifacts):
+    pdf = transcripts_pdf(30)
+    mentions = annotate_pdf(pdf, artifacts)
+    text_by_key = {(r.conv_id, r.turn_idx): r.text for r in pdf.itertuples()}
+    for m in mentions.itertuples():
+        t = text_by_key[(m.conv_id, m.turn_idx)]
+        assert t[m.start:m.end] == m.surface

@@ -1,0 +1,94 @@
+"""Golden tests for annotate_conversation: disambiguation (D3/D4/D5),
+fragment coref (D7), pronoun coref (D8), date interleaving (M8/M9),
+offset/text-equality invariants."""
+
+from __future__ import annotations
+
+from kglinker.extract.matcher import annotate_conversation
+
+
+def _rows(art, turns):
+    return annotate_conversation("c0", list(enumerate(turns)), art)
+
+
+def test_simple_person_and_date(artifacts):
+    rows = _rows(artifacts, ["Tomáš Garrigue Masaryk was born 7.3.1850 ."])
+    assert [(r.mention_type, r.surface, r.resolved) for r in rows] == [
+        ("kb", "Tomáš Garrigue Masaryk", "1"),
+        ("date", "7.3.1850", "1850-03-07"),
+    ]
+    # offsets index the stored text exactly (byte-equality invariant)
+    t = "Tomáš Garrigue Masaryk was born 7.3.1850 ."
+    for r in rows:
+        assert t[r.start:r.end] == r.surface
+
+
+def test_alias_resolves_same_entity(artifacts):
+    rows = _rows(artifacts, ["T. G. Masaryk visited Brno in 1921 ."])
+    kb = [r for r in rows if r.mention_type == "kb"]
+    assert kb[0].kb_id == 1
+    assert kb[1].kb_id == 15
+
+
+def test_ambiguous_washington_context(artifacts):
+    # "Washington" alone: settlement 14 vs person 2 (via redirect) —
+    # static prior decides (D3): person has higher confidence.
+    rows = _rows(artifacts, ["Washington is large ."])
+    assert rows[0].mention_type == "kb"
+    # with a preceding full-name person mention, D4 name-feedback (D5)
+    # pushes the person sense:
+    rows2 = _rows(artifacts, ["George Washington arrived .",
+                              "Washington spoke for an hour ."])
+    assert rows2[0].kb_id == 2
+    assert rows2[1].kb_id == 2
+
+
+def test_fragment_coref_nearest_predecessor(artifacts):
+    rows = _rows(artifacts, ["Jan Novák wrote music .",
+                             "Novák also wrote about Brno ."])
+    frag = [r for r in rows if r.mention_type == "coref"]
+    assert len(frag) == 1
+    assert frag[0].kb_id == 6          # binds to Jan, not Petr
+    assert frag[0].surface == "Novák"
+
+
+def test_fragment_backoff_static_prior(artifacts):
+    # no predecessor → D9 back-off to confidence-ordered subname candidates
+    rows = _rows(artifacts, ["Connor wrote stories ."])
+    assert rows and rows[0].mention_type == "coref"
+    assert rows[0].kb_id == 5          # Flannery O'Connor
+
+
+def test_pronoun_coref_gender(artifacts):
+    rows = _rows(artifacts, ["Marie Curie met Jan Novák in Praha .",
+                             "later ona moved to Germany .",
+                             "later on moved to Brno ."])
+    pron = [r for r in rows if r.mention_type == "coref"]
+    assert len(pron) == 2
+    assert pron[0].surface == "ona" and pron[0].kb_id == 8   # F → Curie
+    assert pron[1].surface == "on" and pron[1].kb_id == 6    # M → Novák
+
+
+def test_unresolvable_pronoun_dropped(artifacts):
+    rows = _rows(artifacts, ["later on moved to Brno ."])
+    assert [r.surface for r in rows] == ["Brno"]
+
+
+def test_stoplisted_spark_not_entity(artifacts):
+    rows = _rows(artifacts, ["I asked Spark to summarize Praha ."])
+    assert [r.surface for r in rows] == ["Praha"]
+    rows2 = _rows(artifacts, ["I asked Apache Spark to summarize Praha ."])
+    assert [r.surface for r in rows2] == ["Apache Spark", "Praha"]
+
+
+def test_date_entity_overlap_removed(artifacts):
+    # entity span wins over a date hiding inside it (M9)
+    rows = _rows(artifacts, ["the Battle of Austerlitz took place near Brno ."])
+    assert [r.surface for r in rows] == ["Battle of Austerlitz", "Brno"]
+
+
+def test_sanitize_keeps_offsets(artifacts):
+    t = "Praha;\x01Brno"
+    rows = _rows(artifacts, [t])
+    assert [(r.surface, t[r.start:r.end]) for r in rows] == [
+        ("Praha", "Praha"), ("Brno", "Brno")]
