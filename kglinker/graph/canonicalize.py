@@ -1,0 +1,127 @@
+"""Entity canonicalization: alias-resolution joins + connected components
+(SURVEY §2.7, reference ``NER/KnowBase/kb_compare.py``).
+
+Match rules re-expressed relationally:
+
+- **K2 unique-id equijoin** (``kb_compare.py:254-272``): two KB rows sharing
+  ``wiki_url`` are the same entity. The inverted index the reference builds
+  (K1, ``:183-212``) *is* the join.
+- **K3 alias-candidate scoring** (``kb_compare.py:274-330``): candidate
+  pairs via any shared name/alias surface; score +1 per equal OTHER field
+  (type, country, location, dates); a contradiction on the unique field
+  (both URLs present and different) scores −1000; pairs with
+  ``score ≥ threshold`` match. Candidate argmax per left row via a window.
+- **CC merge** (north_star): the union of K2/K3 match edges is collapsed by
+  iterative min-label propagation (small-star style: each node adopts the
+  min component id among itself and its neighbors until fixpoint —
+  O(log d) DataFrame iterations, each one shuffle keyed by node). The
+  canonical id is ``min(kb_id)`` per component — deterministic.
+
+Scale: all of this runs on the KB side (10^6–10^8 rows), never on the
+10^12-turn corpus; the corpus only sees the final broadcastable
+``(kb_id, canon_id)`` map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["unique_id_edges", "alias_match_edges", "connected_components",
+           "canonical_map"]
+
+
+def unique_id_edges(kb: DataFrame) -> DataFrame:
+    """K2: (src, dst) edges between rows sharing a non-empty wiki_url."""
+    u = kb.filter(F.coalesce(F.col("wiki_url"), F.lit("")) != "") \
+          .select("kb_id", "wiki_url")
+    a, b = u.alias("a"), u.alias("b")
+    return (a.join(b, (F.col("a.wiki_url") == F.col("b.wiki_url"))
+                   & (F.col("a.kb_id") < F.col("b.kb_id")))
+            .select(F.col("a.kb_id").alias("src"), F.col("b.kb_id").alias("dst")))
+
+
+def _surfaces(kb: DataFrame) -> DataFrame:
+    """K1 inverted index input: kb_id → each name/alias surface."""
+    arr = F.array_union(
+        F.array(F.col("name")),
+        F.split(F.coalesce(F.col("aliases"), F.lit("")), r"\|"))
+    return (kb.select("kb_id", F.explode(arr).alias("surface"))
+            .withColumn("surface", F.trim(F.regexp_replace(
+                "surface", r"#(?:lang|ntype)=[^#|]*", "")))
+            .filter(F.col("surface") != ""))
+
+
+def alias_match_edges(kb: DataFrame, threshold: int = 2) -> DataFrame:
+    """K3: candidates via shared surface, scored on equal other fields,
+    unique-field contradiction −1000, threshold + per-left argmax."""
+    s = _surfaces(kb)
+    cand = (s.alias("a").join(s.alias("b"),
+                              (F.col("a.surface") == F.col("b.surface"))
+                              & (F.col("a.kb_id") < F.col("b.kb_id")))
+            .select(F.col("a.kb_id").alias("src"), F.col("b.kb_id").alias("dst"))
+            .distinct())
+    attrs = kb.select("kb_id", "type", "country", "location", "wiki_url",
+                      "date_of_birth", "founded")
+    j = (cand
+         .join(attrs.alias("x"), cand.src == F.col("x.kb_id"))
+         .join(attrs.alias("y"), cand.dst == F.col("y.kb_id")))
+
+    def eq(c: str) -> F.Column:
+        xv, yv = F.col(f"x.{c}"), F.col(f"y.{c}")
+        return F.when(xv.isNotNull() & yv.isNotNull() & (xv != "")
+                      & (yv != "") & (xv == yv), 1).otherwise(0)
+
+    contradiction = F.when(
+        (F.coalesce(F.col("x.wiki_url"), F.lit("")) != "")
+        & (F.coalesce(F.col("y.wiki_url"), F.lit("")) != "")
+        & (F.col("x.wiki_url") != F.col("y.wiki_url")), -1000).otherwise(0)
+    score = (eq("type") + eq("country") + eq("location")
+             + eq("date_of_birth") + eq("founded")
+             + F.when(F.col("x.wiki_url") == F.col("y.wiki_url"), 2).otherwise(0)
+             + contradiction)
+    scored = j.select("src", "dst", score.alias("score")) \
+              .filter(F.col("score") >= threshold)
+    # greedy best-candidate per left row (kb_compare.py:312-330)
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "score"))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, comp) via iterative min-label propagation over undirected
+    edges(src, dst). Deterministic; converges in O(diameter) rounds —
+    alias graphs are near-star-shaped so 2–4 rounds in practice. Each
+    round is one shuffle; lineage is truncated via localCheckpoint to
+    keep plans bounded."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (und.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("comp", F.col("node")))
+    for _ in range(max_iter):
+        nbr_min = (und.join(labels, und.dst == labels.node)
+                   .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
+        new = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
+               .select("node",
+                       F.least(F.col("comp"),
+                               F.coalesce("nbr_comp", F.col("comp"))).alias("comp")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
+def canonical_map(kb: DataFrame, threshold: int = 2) -> DataFrame:
+    """(kb_id, canon_id) for every KB row that belongs to a merged
+    component; rows not in the map keep their own id (use a left join +
+    coalesce). Broadcastable: components only exist where duplicates do."""
+    edges = unique_id_edges(kb).union(alias_match_edges(kb, threshold)).distinct()
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("kb_id"), F.col("comp").alias("canon_id"))

@@ -1,0 +1,100 @@
+"""Mention rows → (subj, pred, obj) triple DataFrames (north_star emission).
+
+Predicates:
+- ``entity_type``  — entity → its KB type
+- ``kb_uri``       — entity → its KB wiki URL
+- ``co_occurs_in_conv`` — entity pair co-mentioned in one conversation,
+  ordered ``subj < obj``, deduped per conversation, with ``conv_id``
+  provenance (FIXTURES.md §5).
+
+Scale notes:
+- the co-occurrence self-join is keyed by ``conv_id`` — per-conversation
+  entity sets are tiny (≤ dozens), so the pair explosion is bounded and the
+  single shuffle partitions near-uniformly by conversation;
+- hot-key skew appears at the *global* edge aggregation (``Spark`` ×
+  everything at 10^12 turns): that groupBy goes through
+  :func:`kglinker.runtime.partitioning.salted_count` — explicit two-stage
+  salted aggregation per north_rule, with AQE skew handling as backstop;
+- entity dims (``entity_type``/``kb_uri``) come from the broadcast-small KB,
+  not from scanning mentions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kglinker.runtime.partitioning import salted_count
+
+__all__ = ["mention_entities", "entity_dim_triples", "cooccurrence_triples",
+           "build_triples"]
+
+
+def mention_entities(mentions: DataFrame) -> DataFrame:
+    """(conv_id, kb_id) of linked mentions — kb + coref resolve to entities;
+    dates don't (ner_cz.py output row semantics, SURVEY §1.1)."""
+    return (mentions
+            .filter(F.col("mention_type").isin("kb", "coref")
+                    & F.col("kb_id").isNotNull())
+            .select("conv_id", "kb_id"))
+
+
+def entity_dim_triples(kb_scored: DataFrame, canon: DataFrame | None = None) -> DataFrame:
+    """entity_type + kb_uri triples from the KB (small side; no shuffle of
+    the corpus). ``canon``: optional (kb_id, canon_id) mapping from
+    connected-components canonicalization."""
+    kb = kb_scored.select("kb_id", "type", "wiki_url")
+    if canon is not None:
+        kb = (kb.join(F.broadcast(canon), "kb_id", "left")
+                .withColumn("eid", F.coalesce("canon_id", "kb_id"))
+                .drop("canon_id"))
+    else:
+        kb = kb.withColumn("eid", F.col("kb_id"))
+    types = (kb.select(F.col("eid").cast("string").alias("subj"),
+                       F.lit("entity_type").alias("pred"),
+                       F.col("type").alias("obj"))
+             .dropDuplicates(["subj", "obj"]))
+    uris = (kb.filter(F.col("wiki_url") != "")
+            .select(F.col("eid").cast("string").alias("subj"),
+                    F.lit("kb_uri").alias("pred"),
+                    F.col("wiki_url").alias("obj"))
+            .dropDuplicates(["subj", "obj"]))
+    return (types.unionByName(uris)
+            .withColumn("conv_id", F.lit(None).cast("string"))
+            .withColumn("weight", F.lit(None).cast("long")))
+
+
+def cooccurrence_triples(mentions: DataFrame,
+                         canon: DataFrame | None = None,
+                         salt_buckets: int = 16) -> DataFrame:
+    """co_occurs_in_conv edges: per-conversation distinct entity pairs
+    (subj < obj). The per-conv distinct bounds the pair fan-out; the edge
+    weight (number of conversations an edge appears in) is computed with a
+    salted two-stage aggregation to survive hot entity pairs."""
+    ents = mention_entities(mentions)
+    if canon is not None:
+        ents = (ents.join(F.broadcast(canon), "kb_id", "left")
+                    .withColumn("kb_id", F.coalesce("canon_id", "kb_id"))
+                    .drop("canon_id"))
+    per_conv = ents.dropDuplicates(["conv_id", "kb_id"])
+    a = per_conv.alias("a")
+    b = per_conv.alias("b")
+    pairs = (a.join(b, (F.col("a.conv_id") == F.col("b.conv_id"))
+                    & (F.col("a.kb_id") < F.col("b.kb_id")))
+             .select(F.col("a.conv_id").alias("conv_id"),
+                     F.col("a.kb_id").cast("string").alias("subj"),
+                     F.col("b.kb_id").cast("string").alias("obj")))
+    # per-conv dedup already guaranteed by dropDuplicates + strict '<'
+    weighted = salted_count(pairs, ["subj", "obj"], salt_buckets=salt_buckets,
+                            weight_col="weight")
+    edges = (pairs.join(weighted, ["subj", "obj"])
+             .select("subj", F.lit("co_occurs_in_conv").alias("pred"),
+                     "obj", "conv_id", "weight"))
+    return edges
+
+
+def build_triples(mentions: DataFrame, kb_scored: DataFrame,
+                  canon: DataFrame | None = None) -> DataFrame:
+    """Full triple set: dims ∪ co-occurrence edges."""
+    return (entity_dim_triples(kb_scored, canon)
+            .unionByName(cooccurrence_triples(mentions, canon)))

@@ -1,0 +1,57 @@
+"""Explicit partitioning / skew handling (north_rule).
+
+The engine's two shuffle-sensitive spots:
+
+1. the grouped-map extraction — keyed by ``conv_id`` (near-uniform: a
+   conversation is small and bounded) → plain hash repartition, done in
+   :mod:`kglinker.extract.stage`;
+2. surface/entity-keyed aggregations — Zipfian hot keys (frequent tool
+   names, common person names; the skew fixture of FIXTURES.md §1) →
+   **salted two-stage aggregation** here: first aggregate on
+   ``(key, salt)`` where ``salt = pmod(hash(all grouping cols, conv-ish
+   entropy), S)``, then merge the ≤S partials per key. Stage one spreads a
+   hot key over S reducers; stage two touches only ``distinct_keys × S``
+   rows. AQE skew-join splitting stays enabled as a backstop
+   (:mod:`kglinker.runtime.session`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_count", "salted_agg_sum", "repartition_by_conv"]
+
+
+def repartition_by_conv(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Explicit conversation partitioning ahead of per-conv operators."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    return df.repartition(n, "conv_id")
+
+
+def _with_salt(df: DataFrame, salt_buckets: int) -> DataFrame:
+    # salt from a monotonically varying source independent of the group key:
+    # hash of the whole row spreads a hot key's rows uniformly
+    return df.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)))
+
+
+def salted_count(df: DataFrame, keys: list[str], salt_buckets: int = 16,
+                 weight_col: str = "weight") -> DataFrame:
+    """count() per key that survives Zipfian keys: two-stage salted agg."""
+    stage1 = (_with_salt(df, salt_buckets)
+              .groupBy(*keys, "_salt")
+              .agg(F.count(F.lit(1)).alias("_partial")))
+    return (stage1.groupBy(*keys)
+            .agg(F.sum("_partial").alias(weight_col)))
+
+
+def salted_agg_sum(df: DataFrame, keys: list[str], value_col: str,
+                   salt_buckets: int = 16, out_col: str = "total") -> DataFrame:
+    """sum(value) per key, salted two-stage."""
+    stage1 = (_with_salt(df, salt_buckets)
+              .groupBy(*keys, "_salt")
+              .agg(F.sum(value_col).alias("_partial")))
+    return (stage1.groupBy(*keys)
+            .agg(F.sum("_partial").alias(out_col)))

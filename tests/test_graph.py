@@ -1,0 +1,105 @@
+"""Graph layer tests: canonicalization (K2/K3 + CC), triples, full-pipeline
+P/R vs the single-process oracle, lineage resume idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kglinker.data.transcripts import transcripts_df, transcripts_pdf
+from kglinker.graph.canonicalize import (alias_match_edges, canonical_map,
+                                         connected_components)
+from kglinker.graph.triples import build_triples
+from kglinker.jobs.pipeline import run_pipeline
+from kglinker.oracle import oracle_canonical_map, oracle_triples, precision_recall
+
+N_CONVS = 80
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src long, dst long")
+    cc = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == 10
+    assert cc[20] == cc[21] == cc[22] == cc[23] == 20
+
+
+def test_canonical_map_merges_praha(spark, kb_scored):
+    cm = {r["kb_id"]: r["canon_id"] for r in canonical_map(kb_scored).collect()}
+    assert cm.get(13) == 12          # duplicate Praha import merged into Prague
+    assert 2 not in cm or cm[2] == 2  # George Washington untouched
+    # matches the python oracle exactly
+    assert cm == oracle_canonical_map()
+
+
+def test_alias_match_contradiction(spark):
+    """K3: shared alias but contradicting unique URLs must NOT match."""
+    rows = [
+        (1, "settlement", "Springfield", None, "", "", "", "", "", "", "", "",
+         "", "US", "", "", "", "", "", "https://w/A", 1, 1, 1),
+        (2, "settlement", "Springfield", None, "", "", "", "", "", "", "", "",
+         "", "US", "", "", "", "", "", "https://w/B", 1, 1, 1),
+    ]
+    from kglinker.data.kb_fixture import KB_SCHEMA
+    kb = spark.createDataFrame(rows, KB_SCHEMA)
+    assert alias_match_edges(kb).count() == 0
+
+
+def test_triples_pr_vs_oracle(spark, artifacts, artifacts_bcast, kb_scored, tmp_path):
+    edges = run_pipeline(spark, transcripts_df(spark, N_CONVS),
+                         str(tmp_path / "run"), n_buckets=4)
+    got = {(r["subj"], r["pred"], r["obj"], r["conv_id"])
+           for r in edges.select("subj", "pred", "obj", "conv_id").collect()}
+    want = oracle_triples(transcripts_pdf(N_CONVS), artifacts)
+    p, r = precision_recall(got, want)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert p == 1.0 and r == 1.0   # engine should be exact, not just ≥.95
+
+
+def test_cooccurrence_weight_and_order(spark, artifacts_bcast, kb_scored):
+    from kglinker.extract.stage import extract_mentions
+    t = transcripts_df(spark, 40)
+    mentions = extract_mentions(t, artifacts_bcast, num_partitions=4)
+    triples = build_triples(mentions, kb_scored)
+    co = triples.filter(F.col("pred") == "co_occurs_in_conv")
+    bad = co.filter(F.col("subj").try_cast("long") >= F.col("obj").try_cast("long")).count()
+    assert bad == 0
+    # per-conv dedup: no duplicate (subj,obj,conv) rows
+    total = co.count()
+    distinct = co.select("subj", "obj", "conv_id").distinct().count()
+    assert total == distinct
+    # weight = number of conversations carrying the edge
+    one = co.groupBy("subj", "obj").agg(
+        F.count("*").alias("n"), F.first("weight").alias("w")).collect()
+    assert all(r["n"] == r["w"] for r in one)
+
+
+def test_resume_zero_recompute(spark, tmp_path):
+    """Kill after k buckets → rerun → identical triple set, finished buckets
+    not recomputed (wall clock of second run touches only missing buckets)."""
+    work = str(tmp_path / "resume")
+    t = transcripts_df(spark, 30)
+    try:
+        run_pipeline(spark, t, work, n_buckets=4, max_buckets=2)
+        raise AssertionError("expected interrupted-run error")
+    except RuntimeError:
+        pass
+    from kglinker.runtime.checkpoint import LineageCheckpointer
+    ck = LineageCheckpointer(f"{work}/mentions", f"{work}/_lineage", 4)
+    done_before = ck.done_buckets()
+    assert len(done_before) == 2
+    recs_before = {r["bucket"]: r for r in ck.lineage_records()}
+    # resume
+    edges = run_pipeline(spark, t, work, n_buckets=4)
+    assert ck.done_buckets() == {0, 1, 2, 3}
+    # finished buckets untouched (identical lineage records)
+    recs_after = {r["bucket"]: r for r in ck.lineage_records()}
+    for b in done_before:
+        assert recs_after[b] == recs_before[b]
+    # and the final result equals a from-scratch run
+    work2 = str(tmp_path / "fresh")
+    edges2 = run_pipeline(spark, t, work2, n_buckets=4)
+    s1 = {tuple(r) for r in edges.select("subj", "pred", "obj", "conv_id").collect()}
+    s2 = {tuple(r) for r in edges2.select("subj", "pred", "obj", "conv_id").collect()}
+    assert s1 == s2
