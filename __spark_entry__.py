@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship KG query on the sf0.001 parquet (gazetteer link →
+co-occurrence triples over ``documents``). ``queries``/``oracle_sql``:
+the full registry from :mod:`kglinker.queries` — one entry per implemented
+operator family of SURVEY.md §2 plus the training-data ops; every entry
+except the per-conversation sequential pipeline (``kg_pipeline_*``,
+deliberately non-SQL-expressible — SURVEY §2.6 D5/D7/D8) carries an exact
+DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: entity-link sf0.001 documents against the gazetteer and
+    emit (subj, pred, obj, weight) co-occurrence triples."""
+    from pyspark.sql import functions as F
+
+    from kglinker.ops.gazetteer_sql import doc_cooccurrence
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return (doc_cooccurrence(docs)
+            .select(F.col("subj").cast("string").alias("subj"),
+                    F.lit("co_occurs_in_doc").alias("pred"),
+                    F.col("obj").cast("string").alias("obj"),
+                    "weight"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from kglinker.queries import QUERIES
+    return {name: q.fn for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kglinker.queries import QUERIES
+    return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}

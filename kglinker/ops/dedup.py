@@ -1,0 +1,157 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five flavors over a ``documents(doc_id, text, lang, source, n_chars)``
+table, each designed for 100 TB scale *and* for exact cross-engine parity
+(every hash is ``md5`` of an explicit string → identical in Spark and
+DuckDB, used by the driver's oracle gate):
+
+- **exact**       hash-groupBy on md5(text); one shuffle, map-side combine.
+- **minhash+LSH** shingle → per-doc minhash signature (min of md5 strings —
+  engine-agnostic, no integer-hash mismatch) → band buckets → bucket
+  equijoin for candidates → signature-similarity estimate. The classic
+  near-dup path: candidate generation is linear in corpus size, never
+  all-pairs.
+- **simhash**     per-token md5 nibbles vote a fixed-width bit signature;
+  equal signatures ⇒ near-dup bucket.
+- **n-gram Jaccard** exact verification on *blocked* candidate pairs
+  (same (source, lang) block) — quadratic only inside small blocks.
+- **embedding cosine** see :mod:`kglinker.ops.similarity` (threshold pairs).
+
+All plans: filters/projections push to the parquet scan; hashing and
+aggregation stay inside whole-stage codegen (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kglinker.ops.util import fround
+
+__all__ = ["exact_dedup_groups", "minhash_signatures", "minhash_lsh_pairs",
+           "simhash_signatures", "ngram_jaccard_pairs"]
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """(text_hash, keep_doc_id, n_copies): canonical survivor = min doc_id.
+    One hash-shuffle with partial aggregation; at 100 TB bucket the table
+    by text_hash to make re-runs shuffle-free."""
+    return (docs
+            .groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, h0..h{n-1}): minhash over distinct token *trigram shingles*
+    where h_i(doc) = min(md5(i || ':' || shingle)). Trigram shingles (not
+    unigrams) keep set-Jaccard discriminative; string-min of md5 hex is a
+    uniform permutation surrogate that is bit-identical across engines."""
+    from pyspark.sql.window import Window
+    tok = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (tok.withColumn("t1", F.lead("tok", 1).over(w))
+          .withColumn("t2", F.lead("tok", 2).over(w))
+          .filter(F.col("t2").isNotNull())
+          .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("g"))
+          .distinct())
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
+                      bands: int = 4, min_est: float = 0.5) -> DataFrame:
+    """LSH candidate pairs: band = concat of num_hashes/bands signature
+    columns; docs colliding in ≥1 band are candidates; est_sim = fraction
+    of equal minhashes. Returns (doc_a, doc_b, est_sim) with doc_a<doc_b.
+
+    Scale: the only join is the band-bucket equijoin (linear candidates);
+    a pathological bucket (thousands of near-identical docs) is exactly the
+    hot-key case AQE skew-split + salting handle."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes).cache()
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    band_exprs = []
+    for b in range(bands):
+        cols = hcols[b * rows_per_band:(b + 1) * rows_per_band]
+        band_exprs.append(F.struct(F.lit(b).alias("band"),
+                                   F.concat_ws("|", *cols).alias("key")))
+    banded = sig.select("doc_id", F.explode(F.array(*band_exprs)).alias("bk")) \
+                .select("doc_id", F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(h).alias(f"a_{h}") for h in hcols])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(h).alias(f"b_{h}") for h in hcols])
+    est = sum(F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0)
+              for h in hcols) / F.lit(float(num_hashes))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("est_sim", fround(est, 4))
+            .filter(F.col("est_sim") >= min_est)
+            .select("doc_a", "doc_b", "est_sim"))
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): bit j votes +1 if nibble j of md5(token) ≥ 8.
+    Signature = Σ_j bit_j(majority) * 2^j, engine-agnostic via hex-char
+    arithmetic (no native 64-bit hash dependence)."""
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("tok")) \
+              .withColumn("h", F.md5("tok"))
+    # nibble j ≥ 8 ⟺ hex char ∈ 89abcdef
+    hi = list("89abcdef")
+    votes = [F.sum(F.when(F.substring("h", j + 1, 1).isin(hi), 1)
+                   .otherwise(-1)).alias(f"v{j}")
+             for j in range(bits)]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = sum(F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+              for j in range(bits))
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact token-n-gram Jaccard inside (source, lang) blocks:
+    (doc_a, doc_b, jaccard ≥ threshold). Blocking keeps the pair space
+    quadratic only within blocks (the standard ER blocking pattern; the
+    unblocked scale path is minhash_lsh_pairs)."""
+    from pyspark.sql.window import Window
+    tok = (docs.select("doc_id", "source", "lang",
+                       F.posexplode(_tokens()).alias("pos", "tok")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (tok
+             .withColumn("t1", F.lead("tok", 1).over(w))
+             .withColumn("t2", F.lead("tok", 2).over(w))
+             .filter(F.col("t2").isNotNull())
+             .select("doc_id", "source", "lang",
+                     F.concat_ws(" ", "tok", "t1", "t2").alias("g"))
+             .distinct())
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (a.join(b, (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n_grams", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n_grams", "nb"), "doc_b")
+            .withColumn("jaccard", fround(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))

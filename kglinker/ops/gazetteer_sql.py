@@ -1,0 +1,112 @@
+"""Relational (SQL-parity) gazetteer over the ``documents`` table.
+
+The engine's *production* matcher is the broadcast automaton
+(:mod:`kglinker.automaton.build` — arbitrary dictionaries, offsets,
+overlap semantics). This module is the fully-relational variant of the
+same M1/M2/M7/D1/D3 semantics for dictionaries of ≤2-token surfaces,
+expressible identically in Spark and ANSI SQL — it feeds the driver's
+DuckDB oracle gate and doubles as the "gazetteer join" D1 demonstration:
+a broadcast-hash join of exploded tokens against the dictionary.
+
+Leftmost-longest parity trick: the demo dictionary is built so no bigram's
+second word equals any bigram's first word → bigram matches can never
+overlap each other, so leftmost-longest reduces to "all bigram matches +
+unigram matches not covered by a bigram" — pure joins/anti-joins, no
+recursion. (The automaton path has no such restriction.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["GAZETTEER", "gazetteer_df", "doc_tokens", "doc_mentions",
+           "doc_linked", "doc_cooccurrence", "doc_components"]
+
+# (surface, kb_id, confidence); two-token surfaces obey the
+# non-chainable-bigram construction; 'query' is deliberately ambiguous
+# (two candidate entities) to exercise the D3 static argmax.
+GAZETTEER: list[tuple[str, int, float]] = [
+    ("hash join", 201, 95.0),
+    ("table scan", 202, 90.0),
+    ("sort merge", 203, 85.0),
+    ("spark", 301, 80.0),
+    ("customer", 302, 70.0),
+    ("window", 303, 60.0),
+    ("hash", 304, 50.0),
+    ("query", 401, 65.0),
+    ("query", 402, 35.0),
+]
+
+
+def gazetteer_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        GAZETTEER, "surface string, kb_id long, confidence double") \
+        .withColumn("n_words", F.size(F.split("surface", " ")))
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    """M1 tokenizer, relational form: (doc_id, pos, tok) with 0-based
+    positions (documents are single-space separated)."""
+    return docs.select("doc_id", F.posexplode(F.split("text", " "))
+                       .alias("pos", "tok"))
+
+
+def doc_mentions(docs: DataFrame) -> DataFrame:
+    """M2+M7 leftmost-longest mention candidates:
+    (doc_id, pos, surface, kb_id, confidence). Bigram matches win; covered
+    unigram positions are anti-joined away. The dictionary side of every
+    join is broadcast (D1 gazetteer join)."""
+    spark = docs.sparkSession
+    gaz = gazetteer_df(spark)
+    toks = doc_tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (toks.withColumn("t1", F.lead("tok", 1).over(w))
+           .filter(F.col("t1").isNotNull())
+           .withColumn("surface", F.concat_ws(" ", "tok", "t1"))
+           .join(F.broadcast(gaz.filter(F.col("n_words") == 2)), "surface")
+           .select("doc_id", "pos", "surface", "kb_id", "confidence"))
+    covered = big.select("doc_id", F.col("pos").alias("cpos")).union(
+        big.select("doc_id", (F.col("pos") + 1).alias("cpos"))).distinct()
+    uni_base = (toks.withColumnRenamed("tok", "surface")
+                .join(F.broadcast(gaz.filter(F.col("n_words") == 1)), "surface"))
+    uni = (uni_base
+           .join(covered, (uni_base.doc_id == covered.doc_id)
+                 & (uni_base.pos == covered.cpos), "left_anti")
+           .select("doc_id", "pos", "surface", "kb_id", "confidence"))
+    return big.unionByName(uni)
+
+
+def doc_linked(docs: DataFrame) -> DataFrame:
+    """D3 static argmax per mention: highest-confidence candidate, kb_id
+    tie-break (reference first-max semantics with A2 candidate order)."""
+    m = doc_mentions(docs)
+    w = Window.partitionBy("doc_id", "pos").orderBy(
+        F.desc("confidence"), F.asc("kb_id"))
+    return (m.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "pos", "surface", "kb_id"))
+
+
+def doc_cooccurrence(docs: DataFrame) -> DataFrame:
+    """Per-document distinct entity pairs (subj<obj) + corpus-wide weight —
+    the co_occurs_in_conv emission in relational form."""
+    ents = doc_linked(docs).select("doc_id", "kb_id").distinct()
+    a, b = ents.alias("a"), ents.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.kb_id") < F.col("b.kb_id")))
+             .select(F.col("a.doc_id").alias("doc_id"),
+                     F.col("a.kb_id").alias("subj"),
+                     F.col("b.kb_id").alias("obj")))
+    return pairs.groupBy("subj", "obj").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def doc_components(docs: DataFrame, min_weight: int = 1) -> DataFrame:
+    """Connected components over the co-occurrence graph (node, comp) —
+    the CC merge step in a form DuckDB can oracle with a recursive CTE."""
+    from kglinker.graph.canonicalize import connected_components
+    edges = (doc_cooccurrence(docs)
+             .filter(F.col("weight") >= min_weight)
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    return connected_components(edges).select("node", "comp")

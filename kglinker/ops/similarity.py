@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_topk` — brute-force top-k: broadcast the (small) query set,
+  one pass over the corpus, per-query window top-k. The correctness
+  baseline; O(corpus × queries) but embarrassingly parallel and
+  shuffle-light (only the final top-k shuffle, which is tiny after the
+  per-partition ``row_number`` prune AQE applies).
+- :func:`lsh_buckets` / :func:`lsh_topk` — sign-random-projection LSH:
+  deterministic hyperplanes derived from md5 (reproducible across engines
+  and runs, no RNG), bucket = sign bit-vector; candidates share the
+  query's bucket → top-k within candidates. The 100 TB path: corpus is
+  pre-bucketed once (write-time), each query touches one bucket.
+
+Dot products run JVM-side via ``aggregate(zip_with(...))`` — no Python in
+the hot loop. Scores are rounded to 4 dp and ranked on the rounded value
+with ``vec_id`` tie-break so results are reproducible bit-for-bit across
+engines (the DuckDB oracle ranks identically).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kglinker.ops.util import fround
+
+__all__ = ["cosine_topk", "hyperplanes", "lsh_buckets", "lsh_topk",
+           "cosine_pairs_same_label"]
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _as_double(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """(query_id, vec_id, cos_sim) top-k neighbors per query (self excluded).
+    Query side is broadcast; corpus side is scanned once."""
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    q = (e.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    joined = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id")))
+    sim = fround(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (joined.withColumn("cos_sim", sim)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", "vec_id", "cos_sim"))
+
+
+def hyperplanes(n_planes: int, dim: int, seed: str = "kglinker") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible with
+    no RNG state, embeddable as literals in the SQL oracle."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(int(h[:8], 16) / float(0xFFFFFFFF) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_buckets(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """(vec_id, bucket): bucket = concatenated sign bits of plane dots."""
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    bits = []
+    for row in planes:
+        lit = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(F.zip_with(F.col("v"), lit, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return e.select("vec_id", F.concat(*bits).alias("bucket"), "v")
+
+
+def lsh_topk(emb: DataFrame, query_ids: list[int], planes: list[list[float]],
+             k: int = 5) -> DataFrame:
+    """Bucketed ANN: candidates share the query's bucket. Recall < 1 by
+    design; the bucket join replaces the cross join (corpus-scale path)."""
+    b = lsh_buckets(emb, planes)
+    q = (b.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("bucket").alias("qb"), F.col("v").alias("qv")))
+    joined = (b.join(F.broadcast(q), (F.col("bucket") == F.col("qb"))
+                     & (F.col("vec_id") != F.col("query_id"))))
+    sim = fround(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (joined.withColumn("cos_sim", sim)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", "vec_id", "cos_sim"))
+
+
+def cosine_pairs_same_label(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding near-dup pairs within a label block (blocking keeps the
+    self-join bounded; unblocked path = LSH buckets)."""
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = fround(
+        F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v)
+        / (F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, v: acc + v * v))
+           * F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, v: acc + v * v))), 4)
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .withColumn("cos_sim", sim)
+            .filter(F.col("cos_sim") >= threshold)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"), "cos_sim"))

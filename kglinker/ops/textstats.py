@@ -1,0 +1,109 @@
+"""Text analysis operators: quality scoring, language-ID heuristic, token
+counting, document fingerprinting. All pure Column expressions (JVM-side,
+whole-stage codegen) with exact DuckDB-SQL equivalents for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kglinker.ops.util import fround
+
+__all__ = ["STOPWORDS", "LANG_MARKERS", "text_quality", "lang_id",
+           "token_counts", "fingerprints", "word_freq_ratio"]
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+# n-gram/marker-based language-ID heuristic: marker hit-rate per language,
+# argmax with deterministic tie order (marker lists are the "profile")
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "die", "und"],
+    "es": ["el", "la", "que"],
+    "fr": ["le", "la", "et"],
+    "zh": ["的", "了", "是"],
+}
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio,
+    distinct_ratio, quality_score): the classic pretraining quality gates
+    (length / punctuation / stopword / repetition ratios)."""
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    avg_len = (F.length("text") - (n_tokens - 1)) / n_tokens  # chars sans separators
+    stop_ratio = n_stop / n_tokens
+    distinct_ratio = n_distinct / n_tokens
+    quality = (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+               + stop_ratio * 0.2 + distinct_ratio * 0.4)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_calc"),
+        fround(avg_len, 4).alias("avg_token_len"),
+        fround(stop_ratio, 4).alias("stopword_ratio"),
+        fround(distinct_ratio, 4).alias("distinct_ratio"),
+        fround(quality, 4).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, predicted_lang, marker_hits): argmax of marker hit counts,
+    ties broken by language code order (deterministic)."""
+    toks = _tokens()
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct((-hits).alias("neg_hits"),
+                               F.lit(lang).alias("lang"), hits.alias("hits")))
+    best = F.array_min(F.array(*scores))
+    return docs.select("doc_id",
+                       best["lang"].alias("predicted_lang"),
+                       best["hits"].cast("int").alias("marker_hits"))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, alnum_tokens, byte_len): whitespace tokens plus
+    BPE-ish alnum-run count via regexp (the pretokenizer proxy)."""
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("int").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z0-9]+")).cast("int").alias("alnum_tokens"),
+        F.octet_length("text").cast("int").alias("byte_len"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): min-of-md5 over token trigrams — a
+    winnowing-style content fingerprint stable under doc reordering in the
+    corpus; trigrams built with lead() windows (one shuffle by doc)."""
+    tok = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (tok.withColumn("t1", F.lead("tok", 1).over(w))
+           .withColumn("t2", F.lead("tok", 2).over(w))
+           .filter(F.col("t2").isNotNull())
+           .select("doc_id",
+                   F.md5(F.concat_ws(" ", "tok", "t1", "t2")).alias("h")))
+    return tri.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+
+
+def word_freq_ratio(docs: DataFrame) -> DataFrame:
+    """(word, freq, ratio): corpus word frequency with case-insensitive
+    dominance ratio — the A5 aggregation of SURVEY §2.4 (reference
+    ``KB2namelist.py:533-547`` capital-dominance gate input)."""
+    words = docs.select(F.explode(_tokens()).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    tot = freq.groupBy(F.lower("word").alias("lw")) \
+              .agg(F.sum("freq").alias("tot"))
+    return (freq.join(tot, F.lower("word") == F.col("lw"))
+            .select("word", "freq", fround(F.col("freq") / F.col("tot"), 4).alias("ratio")))

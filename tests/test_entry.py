@@ -1,0 +1,35 @@
+"""Driver-contract smoke: entry() produces rows with a stable schema;
+queries()/oracle_sql() are consistent; multimodal stub behaves."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == ["subj", "pred", "obj", "weight"]
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 20
+    # non-SQL-expressible ops are exactly the sequential-pipeline ones
+    assert set(qs) - set(osql) == {"kg_pipeline_mentions", "kg_pipeline_triples"}
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from kglinker.ops.multimodal import attach_blob, decode_media
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = decode_media(attach_blob(docs), fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        out.count()
+
+
+def test_multimodal_fake_decode_shape(spark):
+    from kglinker.ops.multimodal import attach_blob, decode_media
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = decode_media(attach_blob(docs), fake=True)
+    row = out.filter("doc_id = 0").collect()[0]
+    assert 1 <= row["width"] <= 512 and 1 <= row["height"] <= 512
+    assert len(row["feature_hash"]) == 32

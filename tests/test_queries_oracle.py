@@ -1,0 +1,67 @@
+"""Pre-verification of the driver's correctness gate: every oracled query
+in the registry must match its DuckDB SQL row-for-row (column names,
+row count, and values after name-sorted, order-insensitive normalization —
+the same comparison shape the driver applies)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from kglinker.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _normalize(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            elif isinstance(v, float):
+                row.append(f"{v:.10g}")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+ORACLED = sorted(n for n, q in QUERIES.items() if q.sql is not None)
+ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.sql is None)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    q = QUERIES[name]
+    got = q.fn(spark, SF_DIR).toPandas()
+    want = duck.execute(q.sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), name
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert len(got) > 0, f"{name}: empty result proves nothing"
+    g, w = _normalize(got), _normalize(want)
+    mismatches = [i for i, (a, b) in enumerate(zip(g, w)) if a != b]
+    assert not mismatches, (name, [(g[i], w[i]) for i in mismatches[:3]])
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name].fn(spark, SF_DIR)
+    assert df.count() > 0
+    assert df.schema is not None
