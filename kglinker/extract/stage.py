@@ -1,26 +1,34 @@
 """Distributed extraction stage: transcripts → mentions DataFrame.
 
-``applyInPandas`` grouped by ``conv_id`` with turns sorted by ``turn_idx``
-inside each group — the Spark idiom for the reference's per-document
-sequential semantics (SURVEY §2.10, §3.1). The broadcast ``KBArtifacts``
-payload is loaded once per executor (Spark broadcast = the reference's
-shm-resident KB + automaton).
+The per-document sequential semantics (SURVEY §2.10, §3.1) require whole
+conversations in one Python call. Two ways to get that in Spark:
 
-Scale design:
-- explicit ``repartition(n, conv_id)`` ahead of the grouped map (north_rule:
-  partitioning handled explicitly); conversations are the parallelism unit,
-  they are numerous (10^9+) and individually tiny → near-uniform partitions;
-- the *text* never shuffles twice: one hash shuffle on conv_id feeds both
-  grouping and downstream per-conversation writes;
-- per-batch work is Arrow-batched; the Python loop is per conversation,
-  never per row of the corpus;
-- hot-key mentions (frequent tool names) do NOT skew this stage (grouping
-  key is conv_id, not surface); surface-keyed skew is handled where it
-  occurs — the co-occurrence aggregation — via salting
-  (:mod:`kglinker.runtime.partitioning`).
+- ``groupBy(conv_id).applyInPandas`` — semantically direct, but pays one
+  Python invocation + Arrow frame per *conversation*; conversations are
+  tiny (~7 turns) so per-group overhead dominates (measured 2× slower than
+  single-core Python at sf0.01).
+- **chosen**: ``repartition(conv_id) → sortWithinPartitions(conv_id,
+  turn_idx) → mapInPandas`` — one Python call per Arrow batch (thousands
+  of conversations), with a carry-over buffer for the conversation that
+  straddles a batch boundary. Hash partitioning guarantees a conversation
+  never straddles a *partition* boundary, so the carry is always resolved
+  within the partition.
+
+The broadcast ``KBArtifacts`` payload is loaded once per executor (Spark
+broadcast = the reference's shm-resident KB + automaton,
+``SharedKB/var2/main.c:352-381``).
+
+Scale design (north_rule: partitioning explicit):
+- one hash shuffle on ``conv_id`` feeds grouping and downstream
+  per-conversation writes; the text never shuffles twice;
+- hot-key mentions (frequent tool names) do NOT skew this stage (the key
+  is conv_id, not surface); surface-keyed skew is handled at the edge
+  aggregation via salting (:mod:`kglinker.runtime.partitioning`).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -28,27 +36,47 @@ from pyspark.sql import functions as F
 
 from kglinker.extract.matcher import MENTIONS_SCHEMA_DDL, annotate_conversation
 
-__all__ = ["extract_mentions", "annotate_pdf"]
+__all__ = ["extract_mentions", "annotate_pdf", "annotate_sorted_arrays"]
+
+_OUT_COLS = ["conv_id", "turn_idx", "start", "end", "mention_type",
+             "surface", "kb_id", "resolved"]
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+        _OUT_COLS, ["object", "int32", "int32", "int32", "object", "object",
+                    "float64", "object"])})
+
+
+def annotate_sorted_arrays(conv_ids, turn_idxs, texts, art) -> list[tuple]:
+    """Fast path: rows already sorted by (conv_id, turn_idx). Iterates raw
+    arrays (no pandas groupby), calling the per-conversation core at each
+    conv boundary."""
+    rows: list[tuple] = []
+    n = len(conv_ids)
+    i = 0
+    while i < n:
+        conv = conv_ids[i]
+        j = i
+        turns = []
+        while j < n and conv_ids[j] == conv:
+            turns.append((int(turn_idxs[j]), texts[j]))
+            j += 1
+        for r in annotate_conversation(str(conv), turns, art):
+            rows.append((r.conv_id, r.turn_idx, r.start, r.end,
+                         r.mention_type, r.surface, r.kb_id, r.resolved))
+        i = j
+    return rows
 
 
 def annotate_pdf(pdf: pd.DataFrame, art) -> pd.DataFrame:
-    """Annotate a pandas batch holding ≥1 whole conversations (single-process
-    oracle entry point as well — identical code path to the executors)."""
-    cols = ["conv_id", "turn_idx", "start", "end", "mention_type",
-            "surface", "kb_id", "resolved"]
-    rows: list[tuple] = []
-    for conv_id, grp in pdf.groupby("conv_id", sort=False):
-        grp = grp.sort_values("turn_idx")
-        turns = list(zip(grp["turn_idx"].astype(int), grp["text"]))
-        for r in annotate_conversation(str(conv_id), turns, art):
-            rows.append((r.conv_id, r.turn_idx, r.start, r.end,
-                         r.mention_type, r.surface, r.kb_id, r.resolved))
-    out = pd.DataFrame(rows, columns=cols)
-    if out.empty:
-        out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
-            cols, ["object", "int32", "int32", "int32", "object", "object",
-                   "float64", "object"])})
-    return out
+    """Annotate a pandas frame holding whole conversations (single-process
+    oracle entry point — identical core to the executors)."""
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    rows = annotate_sorted_arrays(pdf["conv_id"].to_numpy(),
+                                  pdf["turn_idx"].to_numpy(),
+                                  pdf["text"].to_numpy(), art)
+    return pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
 
 
 def extract_mentions(transcripts: DataFrame, artifacts_bcast,
@@ -62,11 +90,34 @@ def extract_mentions(transcripts: DataFrame, artifacts_bcast,
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return annotate_pdf(pdf, artifacts_bcast.value)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        art = artifacts_bcast.value
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # hold back the (possibly incomplete) trailing conversation
+            last_conv = pdf["conv_id"].iloc[-1]
+            cut = pdf["conv_id"].searchsorted(last_conv, side="left")
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                rows = annotate_sorted_arrays(head["conv_id"].to_numpy(),
+                                              head["turn_idx"].to_numpy(),
+                                              head["text"].to_numpy(), art)
+                yield pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
+        if carry is not None and len(carry):
+            rows = annotate_sorted_arrays(carry["conv_id"].to_numpy(),
+                                          carry["turn_idx"].to_numpy(),
+                                          carry["text"].to_numpy(),
+                                          artifacts_bcast.value)
+            yield pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
 
     return (transcripts
             .select("conv_id", "turn_idx", "text")
             .repartition(num_partitions, "conv_id")
-            .groupBy("conv_id")
-            .applyInPandas(run, MENTIONS_SCHEMA_DDL))
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .mapInPandas(run, MENTIONS_SCHEMA_DDL))

@@ -51,14 +51,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
     where h_i(doc) = min(md5(i || ':' || shingle)). Trigram shingles (not
     unigrams) keep set-Jaccard discriminative; string-min of md5 hex is a
     uniform permutation surrogate that is bit-identical across engines."""
-    from pyspark.sql.window import Window
-    tok = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (tok.withColumn("t1", F.lead("tok", 1).over(w))
-          .withColumn("t2", F.lead("tok", 2).over(w))
-          .filter(F.col("t2").isNotNull())
-          .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("g"))
-          .distinct())
+    from kglinker.ops.util import explode_token_ngrams
+    sh = explode_token_ngrams(docs, 3, ["doc_id"]).distinct()
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
             for i in range(num_hashes)]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -126,17 +120,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     (doc_a, doc_b, jaccard ≥ threshold). Blocking keeps the pair space
     quadratic only within blocks (the standard ER blocking pattern; the
     unblocked scale path is minhash_lsh_pairs)."""
-    from pyspark.sql.window import Window
-    tok = (docs.select("doc_id", "source", "lang",
-                       F.posexplode(_tokens()).alias("pos", "tok")))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (tok
-             .withColumn("t1", F.lead("tok", 1).over(w))
-             .withColumn("t2", F.lead("tok", 2).over(w))
-             .filter(F.col("t2").isNotNull())
-             .select("doc_id", "source", "lang",
-                     F.concat_ws(" ", "tok", "t1", "t2").alias("g"))
-             .distinct())
+    from kglinker.ops.util import explode_token_ngrams
+    grams = explode_token_ngrams(docs, 3, ["doc_id", "source", "lang"]).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (a.join(b, (F.col("a.source") == F.col("b.source"))

@@ -57,36 +57,61 @@ def doc_mentions(docs: DataFrame) -> DataFrame:
     """M2+M7 leftmost-longest mention candidates:
     (doc_id, pos, surface, kb_id, confidence). Bigram matches win; covered
     unigram positions are anti-joined away. The dictionary side of every
-    join is broadcast (D1 gazetteer join)."""
+    join is broadcast (D1 gazetteer join).
+
+    Plan shape: bigrams are built *inside the row* with an index-aware
+    ``transform`` over the split array (scan → explode, zero shuffles —
+    the naive lead()-window plan shuffles every token); the only exchanges
+    left are the broadcast of the dictionary and the covered-position
+    anti-join."""
     spark = docs.sparkSession
     gaz = gazetteer_df(spark)
-    toks = doc_tokens(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (toks.withColumn("t1", F.lead("tok", 1).over(w))
-           .filter(F.col("t1").isNotNull())
-           .withColumn("surface", F.concat_ws(" ", "tok", "t1"))
-           .join(F.broadcast(gaz.filter(F.col("n_words") == 2)), "surface")
-           .select("doc_id", "pos", "surface", "kb_id", "confidence"))
-    covered = big.select("doc_id", F.col("pos").alias("cpos")).union(
-        big.select("doc_id", (F.col("pos") + 1).alias("cpos"))).distinct()
-    uni_base = (toks.withColumnRenamed("tok", "surface")
-                .join(F.broadcast(gaz.filter(F.col("n_words") == 1)), "surface"))
-    uni = (uni_base
-           .join(covered, (uni_base.doc_id == covered.doc_id)
-                 & (uni_base.pos == covered.cpos), "left_anti")
-           .select("doc_id", "pos", "surface", "kb_id", "confidence"))
-    return big.unionByName(uni)
+    big_surfaces = sorted({s for s, _, _ in GAZETTEER if " " in s})
+    uni_surfaces = sorted({s for s, _, _ in GAZETTEER if " " not in s})
+    big_lit = F.array(*[F.lit(s) for s in big_surfaces])
+    uni_lit = F.array(*[F.lit(s) for s in uni_surfaces])
+    arr = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", arr.alias("_arr"))
+    a = F.col("_arr")
+
+    def emit(x, i):
+        big = F.when(i <= F.size(a) - 2,
+                     F.concat_ws(" ", x, F.try_element_at(a, i + 2)))
+        prev_big = F.when(i >= 1, F.concat_ws(" ", F.try_element_at(a, i), x))
+        # coalesce: big/prev_big are null at array edges → treat as no-match
+        is_big = F.coalesce(F.array_contains(big_lit, big), F.lit(False))
+        covered = is_big | F.coalesce(F.array_contains(big_lit, prev_big),
+                                      F.lit(False))
+        surface = (F.when(is_big, big)
+                   .when(~covered & F.array_contains(uni_lit, x), x))
+        return F.struct(i.cast("int").alias("pos"), surface.alias("surface"))
+
+    hits = (base.select("doc_id", F.explode(F.transform(a, emit)).alias("t"))
+            .select("doc_id", "t.pos", "t.surface")
+            .filter(F.col("surface").isNotNull()))
+    # candidate attach (D1): broadcast-hash join against the dictionary —
+    # the only exchange in the whole plan is this broadcast
+    return (hits.join(F.broadcast(gaz), "surface")
+            .select("doc_id", "pos", "surface", "kb_id", "confidence"))
 
 
 def doc_linked(docs: DataFrame) -> DataFrame:
     """D3 static argmax per mention: highest-confidence candidate, kb_id
-    tie-break (reference first-max semantics with A2 candidate order)."""
+    tie-break (reference first-max semantics with A2 candidate order).
+
+    The argmax depends only on the *surface*, so it is computed on the
+    broadcast-small dictionary (window over ≤|dictionary| rows) and joined
+    back — never a corpus-wide window shuffle."""
     m = doc_mentions(docs)
-    w = Window.partitionBy("doc_id", "pos").orderBy(
-        F.desc("confidence"), F.asc("kb_id"))
-    return (m.withColumn("_rn", F.row_number().over(w))
+    gaz = gazetteer_df(docs.sparkSession)
+    w = Window.partitionBy("surface").orderBy(F.desc("confidence"), F.asc("kb_id"))
+    best = (gaz.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select("doc_id", "pos", "surface", "kb_id"))
+            .select("surface", F.col("kb_id").alias("best_kb_id")))
+    return (m.select("doc_id", "pos", "surface").distinct()
+            .join(F.broadcast(best), "surface")
+            .select("doc_id", "pos", "surface",
+                    F.col("best_kb_id").alias("kb_id")))
 
 
 def doc_cooccurrence(docs: DataFrame) -> DataFrame:

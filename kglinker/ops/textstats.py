@@ -86,14 +86,10 @@ def token_counts(docs: DataFrame) -> DataFrame:
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): min-of-md5 over token trigrams — a
     winnowing-style content fingerprint stable under doc reordering in the
-    corpus; trigrams built with lead() windows (one shuffle by doc)."""
-    tok = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = (tok.withColumn("t1", F.lead("tok", 1).over(w))
-           .withColumn("t2", F.lead("tok", 2).over(w))
-           .filter(F.col("t2").isNotNull())
-           .select("doc_id",
-                   F.md5(F.concat_ws(" ", "tok", "t1", "t2")).alias("h")))
+    corpus; trigrams built shuffle-free via index-aware transform."""
+    from kglinker.ops.util import explode_token_ngrams
+    tri = explode_token_ngrams(docs, 3, ["doc_id"]) \
+        .select("doc_id", F.md5("g").alias("h"))
     return tri.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
 
 

@@ -18,3 +18,22 @@ def fround(col: F.Column, digits: int = 4) -> F.Column:
 def fround_sql(expr: str, digits: int = 4) -> str:
     scale = 10 ** digits
     return f"floor(({expr}) * {scale}) / {scale}.0"
+
+
+def explode_token_ngrams(docs, n: int, keep: list[str], out: str = "g"):
+    """(keep..., g): token n-grams built *inside the row* with an
+    index-aware ``transform`` over the split array — no posexplode + window
+    shuffle (the naive lead()-based plan shuffles every token; this one is
+    a pure scan → explode, so n-gram construction stays shuffle-free at
+    100 TB)."""
+    from pyspark.sql import DataFrame  # noqa: F401  (typing only)
+    arr = F.split(F.col("text"), " ")
+    base = docs.select(*keep, arr.alias("_arr"))
+    a = F.col("_arr")
+
+    def gram(x, i):
+        parts = [x] + [F.try_element_at(a, i + k + 1) for k in range(1, n)]
+        return F.when(i <= F.size(a) - n, F.concat_ws(" ", *parts))
+
+    return (base.select(*keep, F.explode(F.transform(a, gram)).alias(out))
+            .filter(F.col(out).isNotNull()))
