@@ -27,6 +27,9 @@ Stage map (reference → here):
                                              preceding person
  D8 pronoun coref    ner_cz.py:411-491     → last male/female state
  D9 back-off         ner_cz.py:1429-1432   → static prior fallback
+ D10 unknown names   process_outputs.py:287-344 → _find_unknown_names
+                     (capitalized-run scan, overlap-absorb, negative
+                      synthetic ids ner_cz.py:1295-1305)
 """
 
 from __future__ import annotations
@@ -70,9 +73,33 @@ def _year(datestr: str) -> str:
     return datestr[:4] if datestr else ""
 
 
+_CAP_RUN = re.compile(
+    r"(?<![\w'])[A-ZÁČĎÉĚÍŇÓŘŠŤÚŮÝŽ][\w']+(?: [A-ZÁČĎÉĚÍŇÓŘŠŤÚŮÝŽ][\w']+)+")
+
+
+def _find_unknown_names(text: str, taken: list[tuple[int, int]],
+                        name_registry: dict[str, int]) -> list[tuple[int, int, str, int]]:
+    """D10 (optional `-n` mode): heuristic capitalized-run scanner
+    (``name_recognizer/process_outputs.py:287-344`` find_full_names) for
+    person-like names absent from the KB. Runs overlapping known mentions
+    are absorbed (ner_cz.py:1307-1330); new names get negative synthetic
+    sense ids, stable per conversation (ner_cz.py:1295-1305)."""
+    out = []
+    for m in _CAP_RUN.finditer(text):
+        s, e = m.span()
+        if any(not (e <= ts or s >= te) for ts, te in taken):
+            continue
+        surface = m.group(0)
+        if surface not in name_registry:
+            name_registry[surface] = -(len(name_registry) + 1)
+        out.append((s, e, surface, name_registry[surface]))
+    return out
+
+
 def annotate_conversation(conv_id: str,
                           turns: list[tuple[int, str]],
-                          art: KBArtifacts) -> list[MentionRow]:
+                          art: KBArtifacts,
+                          detect_unknown_names: bool = False) -> list[MentionRow]:
     """Annotate one conversation. ``turns`` must be (turn_idx, text) sorted
     by turn_idx (the stable ordering invariant)."""
     auto = art.automaton
@@ -85,6 +112,7 @@ def annotate_conversation(conv_id: str,
     last_person_by_gender: dict[str, int] = {}   # D8 state
     person_mentions: list[tuple[int, int, int, str]] = []  # (turn, start, kb_id, surface) for D7
     tied_mentions: list[int] = []          # indexes into out needing D6 fixup
+    name_registry: dict[str, int] = {}     # D10 surface → negative synthetic id
 
     for turn_idx, text in turns:
         st = _sanitize(text)
@@ -117,9 +145,19 @@ def annotate_conversation(conv_id: str,
         events += [(m.start, "frag", m) for m in fragments]
         events += [(m.start, "pron", m) for m in pronouns]
         events += [(d.start, "date", d) for d in dates]
+        if detect_unknown_names:
+            taken = spans + [(d.start, d.end) for d in dates]
+            events += [(s, "name", (s, e, surf, nid))
+                       for s, e, surf, nid in
+                       _find_unknown_names(st, taken, name_registry)]
         events.sort(key=lambda e: e[0])
 
         for start, kind, obj in events:
+            if kind == "name":
+                s, e_, surf, nid = obj
+                out.append(MentionRow(conv_id, turn_idx, s, e_, "name",
+                                      surf, nid, str(nid)))
+                continue
             if kind == "date":
                 out.append(MentionRow(conv_id, turn_idx, obj.start, obj.end,
                                       obj.kind, st[obj.start:obj.end], None,

@@ -48,7 +48,8 @@ def _empty_out() -> pd.DataFrame:
                     "float64", "object"])})
 
 
-def annotate_sorted_arrays(conv_ids, turn_idxs, texts, art) -> list[tuple]:
+def annotate_sorted_arrays(conv_ids, turn_idxs, texts, art,
+                           detect_unknown_names: bool = False) -> list[tuple]:
     """Fast path: rows already sorted by (conv_id, turn_idx). Iterates raw
     arrays (no pandas groupby), calling the per-conversation core at each
     conv boundary."""
@@ -62,25 +63,29 @@ def annotate_sorted_arrays(conv_ids, turn_idxs, texts, art) -> list[tuple]:
         while j < n and conv_ids[j] == conv:
             turns.append((int(turn_idxs[j]), texts[j]))
             j += 1
-        for r in annotate_conversation(str(conv), turns, art):
+        for r in annotate_conversation(str(conv), turns, art,
+                                       detect_unknown_names):
             rows.append((r.conv_id, r.turn_idx, r.start, r.end,
                          r.mention_type, r.surface, r.kb_id, r.resolved))
         i = j
     return rows
 
 
-def annotate_pdf(pdf: pd.DataFrame, art) -> pd.DataFrame:
+def annotate_pdf(pdf: pd.DataFrame, art,
+                 detect_unknown_names: bool = False) -> pd.DataFrame:
     """Annotate a pandas frame holding whole conversations (single-process
     oracle entry point — identical core to the executors)."""
     pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     rows = annotate_sorted_arrays(pdf["conv_id"].to_numpy(),
                                   pdf["turn_idx"].to_numpy(),
-                                  pdf["text"].to_numpy(), art)
+                                  pdf["text"].to_numpy(), art,
+                                  detect_unknown_names)
     return pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
 
 
 def extract_mentions(transcripts: DataFrame, artifacts_bcast,
-                     num_partitions: int | None = None) -> DataFrame:
+                     num_partitions: int | None = None,
+                     detect_unknown_names: bool = False) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) → mentions.
 
     ``artifacts_bcast``: broadcast from
@@ -107,13 +112,15 @@ def extract_mentions(transcripts: DataFrame, artifacts_bcast,
             if len(head):
                 rows = annotate_sorted_arrays(head["conv_id"].to_numpy(),
                                               head["turn_idx"].to_numpy(),
-                                              head["text"].to_numpy(), art)
+                                              head["text"].to_numpy(), art,
+                                              detect_unknown_names)
                 yield pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
         if carry is not None and len(carry):
             rows = annotate_sorted_arrays(carry["conv_id"].to_numpy(),
                                           carry["turn_idx"].to_numpy(),
                                           carry["text"].to_numpy(),
-                                          artifacts_bcast.value)
+                                          artifacts_bcast.value,
+                                          detect_unknown_names)
             yield pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
 
     return (transcripts

@@ -92,3 +92,19 @@ def test_sanitize_keeps_offsets(artifacts):
     rows = _rows(artifacts, [t])
     assert [(r.surface, t[r.start:r.end]) for r in rows] == [
         ("Praha", "Praha"), ("Brno", "Brno")]
+
+
+def test_unknown_name_detection(artifacts):
+    # D10: capitalized runs absent from the KB get stable negative ids
+    rows = annotate_conversation("c0", [
+        (0, "Alice Wonderland met Jan Novák in Praha ."),
+        (1, "later Alice Wonderland left ."),
+    ], artifacts, detect_unknown_names=True)
+    names = [r for r in rows if r.mention_type == "name"]
+    assert [(n.surface, n.kb_id) for n in names] == [
+        ("Alice Wonderland", -1), ("Alice Wonderland", -1)]
+    # known entities are absorbed, not re-detected (ner_cz.py:1307-1330)
+    assert not any(n.surface == "Jan Novák" for n in names)
+    # default off → byte-identical behavior to before
+    rows2 = annotate_conversation("c0", [(0, "Alice Wonderland left .")], artifacts)
+    assert rows2 == []
