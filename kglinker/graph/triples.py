@@ -76,15 +76,19 @@ def cooccurrence_triples(mentions: DataFrame,
         ents = (ents.join(F.broadcast(canon), "kb_id", "left")
                     .withColumn("kb_id", F.coalesce("canon_id", "kb_id"))
                     .drop("canon_id"))
-    per_conv = ents.dropDuplicates(["conv_id", "kb_id"])
-    a = per_conv.alias("a")
-    b = per_conv.alias("b")
-    pairs = (a.join(b, (F.col("a.conv_id") == F.col("b.conv_id"))
-                    & (F.col("a.kb_id") < F.col("b.kb_id")))
-             .select(F.col("a.conv_id").alias("conv_id"),
-                     F.col("a.kb_id").cast("string").alias("subj"),
-                     F.col("b.kb_id").cast("string").alias("obj")))
-    # per-conv dedup already guaranteed by dropDuplicates + strict '<'
+    # pairs generated inside the row from the per-conversation sorted
+    # entity set (small, ≤ dozens): one groupBy(conv_id) shuffle + array
+    # expansion instead of a sort-merge self-join (and no second
+    # evaluation of the mentions pipeline)
+    per_conv = (ents.groupBy("conv_id")
+                .agg(F.sort_array(F.collect_set("kb_id")).alias("es")))
+    es = F.col("es")
+    pairs = (per_conv.select("conv_id", F.explode(F.flatten(F.transform(
+                es, lambda x, i: F.transform(
+                    F.slice(es, i + 2, F.size(es)),
+                    lambda y: F.struct(x.cast("string").alias("subj"),
+                                       y.cast("string").alias("obj")))))).alias("p"))
+             .select("conv_id", "p.subj", "p.obj"))
     weighted = salted_count(pairs, ["subj", "obj"], salt_buckets=salt_buckets,
                             weight_col="weight")
     edges = (pairs.join(weighted, ["subj", "obj"])

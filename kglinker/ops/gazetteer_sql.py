@@ -116,14 +116,21 @@ def doc_linked(docs: DataFrame) -> DataFrame:
 
 def doc_cooccurrence(docs: DataFrame) -> DataFrame:
     """Per-document distinct entity pairs (subj<obj) + corpus-wide weight —
-    the co_occurs_in_conv emission in relational form."""
-    ents = doc_linked(docs).select("doc_id", "kb_id").distinct()
-    a, b = ents.alias("a"), ents.alias("b")
-    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
-                    & (F.col("a.kb_id") < F.col("b.kb_id")))
-             .select(F.col("a.doc_id").alias("doc_id"),
-                     F.col("a.kb_id").alias("subj"),
-                     F.col("b.kb_id").alias("obj")))
+    the co_occurs_in_conv emission in relational form.
+
+    Pairs are generated *inside the row* from the per-document sorted
+    entity set (bounded by the dictionary size) — a groupBy + array
+    expansion instead of a sort-merge self-join, halving the exchanges and
+    avoiding a second evaluation of the linking pipeline."""
+    ents = (doc_linked(docs)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("kb_id")).alias("es")))
+    es = F.col("es")
+    pairs = (ents.select(F.explode(F.flatten(F.transform(
+                es, lambda x, i: F.transform(
+                    F.slice(es, i + 2, F.size(es)),
+                    lambda y: F.struct(x.alias("subj"), y.alias("obj")))))).alias("p"))
+             .select("p.subj", "p.obj"))
     return pairs.groupBy("subj", "obj").agg(F.count(F.lit(1)).alias("weight"))
 
 
