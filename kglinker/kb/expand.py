@@ -167,6 +167,20 @@ def subnames(name: str) -> list[str]:
     return sorted(out)
 
 
+def settlement_variants(name: str, country: str) -> list[str]:
+    """G6: settlement/watercourse "Name, Country" variants
+    (KB2namelist.py:376-385), with the reference's ``United States→US``
+    abbreviation."""
+    out: set[str] = set()
+    name, country = normalize_ws(name), normalize_ws(country)
+    if name and country:
+        out.add(f"{name}, {country}")
+        if country == "United States":
+            out.add(f"{name}, US")
+    out.discard(name)
+    return sorted(out)
+
+
 def org_event_variants(name: str, etype: str) -> list[str]:
     """G7: event first-letter case variants; organisation
     Each-Word-Capitalized variant (KB2namelist.py:441-449)."""

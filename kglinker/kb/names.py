@@ -48,15 +48,17 @@ def _stop_variants() -> set[str]:
 
 
 @F.pandas_udf(_VARIANT_SCHEMA)
-def _gen_variants(name: pd.Series, etype: pd.Series) -> pd.Series:
+def _gen_variants(name: pd.Series, etype: pd.Series, country: pd.Series) -> pd.Series:
     """G1–G7 variant generation, Arrow-batched (SURVEY §2.10.2)."""
     out = []
-    for n, t in zip(name, etype):
+    for n, t, c in zip(name, etype, country):
         base = t.split(":")[0] if t else ""
         if base == "person":
             out.append(X.person_variants(n))
         elif base in ("organisation", "event"):
             out.append(X.org_event_variants(n, base))
+        elif base in ("settlement", "watercourse"):
+            out.append(X.settlement_variants(n, c or ""))
         else:
             out.append([])
     return pd.Series(out)
@@ -109,7 +111,9 @@ def build_namelist(kb_scored: DataFrame,
 
     variants = (kb_scored
                 .select("kb_id", "type",
-                        F.explode(_gen_variants("name", "type")).alias("surface")))
+                        F.explode(_gen_variants(
+                            "name", "type",
+                            F.coalesce("country", F.lit("")))).alias("surface")))
 
     direct = (base.select("kb_id", "type", "surface")
               .unionByName(variants)

@@ -119,3 +119,27 @@ def test_token_boundary(artifacts):
     assert a.find_matches("Prahaland is fictional") == []
     # punctuation boundary OK
     assert [m.surface for m in a.find_matches("We visited Praha, then left.")] == ["Praha"]
+
+
+def test_saint_variants():
+    v = set(X.person_variants("Sv. Václav"))
+    assert {"Svatý Václav", "Sv Václav"} <= v
+
+
+def test_settlement_country_variant():
+    assert X.settlement_variants("Washington", "United States") == [
+        "Washington, US", "Washington, United States"]
+
+
+def test_czech_inflection_stub():
+    import pytest
+    with pytest.raises(NotImplementedError):
+        X.czech_inflections("Jan Novák")
+    fx = {"Jan Novák": ["Jana Nováka", "Janu Novákovi"]}
+    assert X.czech_inflections("Jan Novák", fx) == ["Jana Nováka", "Janu Novákovi"]
+
+
+def test_g6_in_namelist(artifacts):
+    # settlement variant reaches the automaton (G6 wired through names.py)
+    got = artifacts.automaton.get("Washington, United States")
+    assert got is not None and 14 in got[0]
