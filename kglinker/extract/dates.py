@@ -54,8 +54,13 @@ _PATTERNS: list[tuple[re.Pattern, str]] = [
 ]
 
 
+_HAS_DIGIT = re.compile(r"\d")
+
+
 def find_dates(text: str) -> list[DateMatch]:
     """Non-overlapping date/interval matches, priority then position order."""
+    if _HAS_DIGIT.search(text) is None:  # cheap reject: no digits, no dates
+        return []
     taken: list[tuple[int, int]] = []
     out: list[DateMatch] = []
     for pat, kind in _PATTERNS:

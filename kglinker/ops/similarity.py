@@ -103,6 +103,42 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], planes: list[list[float]],
             .select("query_id", "vec_id", "cos_sim"))
 
 
+def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """(vec_id, v, cent_id): IVF coarse quantization with deterministic
+    centroids (the first ``n_centroids`` vectors by vec_id — no RNG, no
+    iteration; a k-means refinement would slot in here unchanged).
+    Assignment = argmax centroid cosine (fround ties → cent_id asc)."""
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents = (e.filter(F.col("vec_id") < n_centroids)
+             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+    sim = fround(_dot("v", "cv") / (_norm("v") * _norm("cv")), 4)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    return (e.crossJoin(F.broadcast(cents))
+            .withColumn("csim", sim)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "v", "cent_id"))
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = 8) -> DataFrame:
+    """IVF ANN: each query probes only its own centroid's inverted list —
+    the corpus-scale path where the cross join is replaced by a bucket
+    equijoin (recall < 1 by design, like any single-probe IVF)."""
+    assign = ivf_assign(emb, n_centroids)
+    q = (assign.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("cent_id").alias("qc"), F.col("v").alias("qv")))
+    joined = assign.join(F.broadcast(q), (F.col("cent_id") == F.col("qc"))
+                         & (F.col("vec_id") != F.col("query_id")))
+    sim = fround(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (joined.withColumn("cos_sim", sim)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", "vec_id", "cos_sim"))
+
+
 def cosine_pairs_same_label(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding near-dup pairs within a label block (blocking keeps the
     self-join bounded; unblocked path = LSH buckets)."""

@@ -404,6 +404,35 @@ SELECT query_id, vec_id, cos_sim FROM (
 ) WHERE rn <= {ANN_K}"""
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from kglinker.ops.similarity import ivf_topk
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, ANN_K)
+
+
+SQL_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+asgn AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {fround_sql('list_cosine_similarity(e.v, c.cv)', 4)} DESC,
+                      c.cent_id) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, cent_id AS qc, v AS qv FROM asgn
+      WHERE vec_id IN ({_IDS})),
+s AS (SELECT q.query_id, a.vec_id,
+             {fround_sql('list_cosine_similarity(a.v, q.qv)', 4)} AS cos_sim
+      FROM asgn a JOIN q ON a.cent_id = q.qc AND a.vec_id <> q.query_id)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn FROM s
+) WHERE rn <= {ANN_K}"""
+
+
 def q_embed_neardup_pairs(spark, sf_dir):
     from kglinker.ops.similarity import cosine_pairs_same_label
     return cosine_pairs_same_label(_read(spark, sf_dir, "embeddings"),
@@ -614,6 +643,7 @@ QUERIES: dict[str, Query] = {
     # similarity
     "ann_cosine_topk": Query(q_ann_cosine_topk, SQL_ANN_COSINE, True),
     "ann_lsh_topk": Query(q_ann_lsh_topk, SQL_ANN_LSH),
+    "ann_ivf_topk": Query(q_ann_ivf_topk, SQL_ANN_IVF),
     "embed_neardup_pairs": Query(q_embed_neardup_pairs, SQL_EMBED_NEARDUP),
     # text analysis
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, True),
