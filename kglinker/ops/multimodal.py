@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_blob", "media_metadata", "decode_media"]
+__all__ = ["attach_blob", "media_metadata", "decode_media", "frame_sample",
+           "resize_features"]
 
 DECODED_SCHEMA = ("doc_id long, mime string, n_bytes int, width int, "
                   "height int, feature_hash string")
@@ -73,3 +74,42 @@ def decode_media(docs_with_blob: DataFrame, fake: bool = False) -> DataFrame:
             })
 
     return docs_with_blob.mapInPandas(run, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string, offset_bytes int"
+
+
+def frame_sample(docs_with_blob: DataFrame, every_n_bytes: int = 64,
+                 fake: bool = True) -> DataFrame:
+    """Video-style frame sampling: one row per sampled frame (1→N fan-out
+    inside ``mapInPandas`` — the batch shape a real ffmpeg key-frame
+    sampler uses; the decode kernel itself is the deterministic fake)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("frame decode requires ffmpeg")
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                for k, off in enumerate(range(0, len(b), every_n_bytes)):
+                    chunk = b[off:off + every_n_bytes]
+                    rows.append((int(doc_id), k,
+                                 hashlib.md5(chunk).hexdigest(), off))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "frame_hash", "offset_bytes"])
+
+    return docs_with_blob.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_features(decoded: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize step over decoded metadata: pure Column math on (width,
+    height) — the aspect-preserving target shape a real resize kernel
+    would use; no Python needed because only metadata is transformed."""
+    scale = F.least(F.lit(float(max_dim)) / F.col("width"),
+                    F.lit(float(max_dim)) / F.col("height"),
+                    F.lit(1.0))
+    return decoded.select(
+        "doc_id", "feature_hash",
+        F.ceil(F.col("width") * scale).cast("int").alias("out_width"),
+        F.ceil(F.col("height") * scale).cast("int").alias("out_height"))

@@ -1,0 +1,42 @@
+"""Scale/skew tests (SURVEY §5): hot-key fixtures must not break or
+degenerate the plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hot_tool_conversations(spark, kb_scored, artifacts_bcast):
+    """One tool name in ~every turn of many conversations (the skew
+    fixture): extraction + salted edge aggregation complete and weights
+    are exact."""
+    from kglinker.extract.stage import extract_mentions
+    from kglinker.graph.triples import cooccurrence_triples
+    from datetime import datetime, timedelta
+    base = datetime(2025, 1, 1)
+    rows = []
+    for c in range(120):
+        for t in range(6):
+            rows.append((f"hot_{c:04d}", t, "user",
+                         "I asked SearchTool to summarize Praha .", "SearchTool",
+                         base + timedelta(minutes=c, seconds=t)))
+    from kglinker.data.transcripts import TRANSCRIPTS_SCHEMA
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    mentions = extract_mentions(df, artifacts_bcast, num_partitions=8)
+    edges = cooccurrence_triples(mentions, salt_buckets=8)
+    got = {(r["subj"], r["obj"]): r["weight"] for r in edges.collect()}
+    # SearchTool(11) × Praha-canonical(12): every conversation carries it
+    assert got[("11", "12")] == 120
+
+
+def test_salted_agg_is_two_stage(spark):
+    """The salted count's physical plan aggregates twice (partial spread
+    over salt, then merge) — the explicit skew handling of north_rule."""
+    from kglinker.runtime.partitioning import salted_count
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v"))
+    plan = salted_count(df, ["k"], salt_buckets=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # two logical agg levels → ≥4 HashAggregate operators (partial+final ×2)
+    assert plan.count("HashAggregate") >= 4
+    assert "_salt" in plan
