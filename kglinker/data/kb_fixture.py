@@ -146,7 +146,7 @@ KB_ROWS: list[tuple] = [
      2600, 64000, 190),
     # --- events -------------------------------------------------------------
     (21, "event", "Battle of Austerlitz", "Battle of Austerlitz (1805)",
-     "Battle of the Three Emperors", "",
+     "Battle of the Three Emperors|Austerlitz", "",
      "Napoleonic battle fought near Brno in Moravia.",
      "", "", "", "", "", "", "", "",
      "", "", "1805-12-02", "1805-12-02", "https://wiki.example/Austerlitz",
@@ -156,6 +156,15 @@ KB_ROWS: list[tuple] = [
      "", "", "", "", "", "", "", "",
      "", "", "1968-01-05", "1968-08-21", "https://wiki.example/Prague_Spring",
      1900, 41000, 130),
+    # event/settlement ambiguous surface "Austerlitz" → exercises the D2
+    # context-free filter (" during " left context keeps event senses,
+    # ner_cz.py:279-297)
+    (23, "settlement", "Austerlitz", "Austerlitz (town)",
+     "Battle of Austerlitz#ntype=nick", "",
+     "Town in Moravia known for the Napoleonic battle.",
+     "", "", "", "", "", "", "Czechia", "",
+     "", "", "", "", "https://wiki.example/Austerlitz_town",
+     300, 9000, 40),
 ]
 
 _FIELDS = [

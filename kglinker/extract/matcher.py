@@ -168,6 +168,8 @@ def annotate_conversation(conv_id: str,
                 cand = [c for c in m.kb_ids if c in meta]
                 if not cand:
                     continue
+                if len(cand) > 1:
+                    cand = _context_free_filter(cand, meta, st, m.start, m.end)
                 if len(cand) == 1:
                     chosen, tied = cand[0], False
                 else:
@@ -213,6 +215,34 @@ def annotate_conversation(conv_id: str,
 
     _fix_poor_disambiguation(out, tied_mentions)
     return out
+
+
+_DURING = ("během ", "during ")
+_COPULA = re.compile(r"\b(?:byl|byla|je|was|is|were)\b")
+
+
+def _context_free_filter(cand: list[int], meta: dict, text: str,
+                         start: int, end: int) -> list[int]:
+    """D2 context-free candidate filters (ner_cz.py:279-317):
+    - a ``během``/``during`` left context keeps only event senses;
+    - a copula (+ a candidate person's JOBS value) in the trailing
+      sentence keeps only those persons.
+    Filters only narrow; they never empty the candidate list."""
+    left = text[max(0, start - 8):start].lower()
+    if any(left.endswith(d) for d in _DURING):
+        events = [c for c in cand if meta[c]["type"] == "event"]
+        if events:
+            return events
+    rest = text[end:end + 80]
+    cut = rest.find(".")
+    rest = (rest[:cut] if cut >= 0 else rest).lower()
+    if _COPULA.search(rest):
+        by_job = [c for c in cand
+                  if meta[c]["type"].startswith("person")
+                  and any(j.lower() in rest for j in meta[c]["jobs"])]
+        if by_job:
+            return by_job
+    return cand
 
 
 def _disambiguate(cand: list[int], meta: dict, turn_nats: set[str],

@@ -108,3 +108,23 @@ def test_unknown_name_detection(artifacts):
     # default off → byte-identical behavior to before
     rows2 = annotate_conversation("c0", [(0, "Alice Wonderland left .")], artifacts)
     assert rows2 == []
+
+
+def test_d2_during_keeps_event(artifacts):
+    # "Austerlitz" is event 21 / settlement 23 ambiguous
+    got = artifacts.automaton.get("Austerlitz")
+    assert got is not None and set(got[0]) == {21, 23}
+    rows = _rows(artifacts, ["they met during Austerlitz in Moravia ."])
+    assert rows[0].kb_id == 21
+    # without the 'during' cue the static prior decides (settlement 23 or
+    # event 21, whichever scores higher — assert it is deterministic)
+    r1 = _rows(artifacts, ["Austerlitz is a place ."])[0].kb_id
+    r2 = _rows(artifacts, ["Austerlitz is a place ."])[0].kb_id
+    assert r1 == r2
+
+
+def test_d2_copula_job_keeps_person(artifacts):
+    # "Washington" ambiguous person 2 / settlement 14; trailing copula +
+    # person job restricts to the person (ner_cz.py:302-317)
+    rows = _rows(artifacts, ["Washington was a famous general in the war ."])
+    assert rows[0].kb_id == 2
