@@ -32,7 +32,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from kglinker.extract.matcher import MENTIONS_SCHEMA_DDL, annotate_conversation
 

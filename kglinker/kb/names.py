@@ -21,7 +21,7 @@ reference's offline ``create_cedar.sh`` automaton compilation.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

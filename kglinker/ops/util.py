@@ -26,7 +26,6 @@ def explode_token_ngrams(docs, n: int, keep: list[str], out: str = "g"):
     shuffle (the naive lead()-based plan shuffles every token; this one is
     a pure scan → explode, so n-gram construction stays shuffle-free at
     100 TB)."""
-    from pyspark.sql import DataFrame  # noqa: F401  (typing only)
     arr = F.split(F.col("text"), " ")
     base = docs.select(*keep, arr.alias("_arr"))
     a = F.col("_arr")
