@@ -89,15 +89,21 @@ def alias_match_edges(kb: DataFrame, threshold: int = 2) -> DataFrame:
             .filter(F.col("_rn") == 1).drop("_rn", "score"))
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         num_partitions: int = 4) -> DataFrame:
     """(node, comp) via iterative min-label propagation over undirected
     edges(src, dst). Deterministic; converges in O(diameter) rounds —
     alias graphs are near-star-shaped so 2–4 rounds in practice. Each
     round is one shuffle; lineage is truncated via localCheckpoint to
-    keep plans bounded."""
+    keep plans bounded.
+
+    ``num_partitions`` defaults low because this runs on the KB-side
+    alias graph (small by design; SURVEY §2.7) — per-iteration task count,
+    not data volume, dominates the loop's wall time. Raise it if ever fed
+    a corpus-scale graph."""
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().cache()
+    ).distinct().repartition(num_partitions).cache()
     labels = (und.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("comp", F.col("node")))

@@ -41,9 +41,13 @@ GAZETTEER: list[tuple[str, int, float]] = [
 
 
 def gazetteer_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        GAZETTEER, "surface string, kb_id long, confidence double") \
-        .withColumn("n_words", F.size(F.split("surface", " ")))
+    # literal VALUES → LocalRelation: no Python-RDD round trip, the
+    # broadcast side stays JVM-only
+    values = ", ".join(f"('{s}', CAST({k} AS BIGINT), CAST({c} AS DOUBLE))"
+                       for s, k, c in GAZETTEER)
+    return spark.sql(
+        f"SELECT surface, kb_id, confidence, size(split(surface, ' ')) AS n_words "
+        f"FROM VALUES {values} AS t(surface, kb_id, confidence)")
 
 
 def doc_tokens(docs: DataFrame) -> DataFrame:
