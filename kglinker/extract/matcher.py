@@ -54,6 +54,8 @@ def _sanitize(text: str) -> str:
     """M11: same-length char-class → space keeps offsets valid against the
     *stored* text (the per-turn text-equality invariant: stored text is
     never rewritten)."""
+    if _SANITIZE.search(text) is None:  # common case: no copy
+        return text
     return _SANITIZE.sub(" ", text)
 
 
@@ -117,6 +119,13 @@ def annotate_conversation(conv_id: str,
     for turn_idx, text in turns:
         st = _sanitize(text)
         matches = auto.find_matches(st)
+        if not matches and not detect_unknown_names:
+            # fast path: only dates possible on this turn
+            for d in find_dates(st):
+                out.append(MentionRow(conv_id, turn_idx, d.start, d.end,
+                                      d.kind, st[d.start:d.end], None,
+                                      d.resolved))
+            continue
 
         # split: kb mentions / pronouns / nationality context / fragments
         kb_matches, pronouns, fragments = [], [], []
