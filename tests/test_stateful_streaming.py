@@ -33,7 +33,7 @@ def test_cross_batch_pronoun_coref(spark, artifacts_bcast, tmp_path):
         _write(spark, inp, [("conv_x", 1, "assistant",
                              "later ona moved to Germany .", None, ts)])
         # wait for idle timeout + emission
-        deadline = time.time() + 90
+        deadline = time.time() + 180
         rows = []
         while time.time() < deadline:
             try:
