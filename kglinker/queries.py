@@ -125,6 +125,26 @@ def q_kg_connected_components(spark, sf_dir):
 SQL_KG_MENTIONS = f"WITH {_SQL_MENTIONS}\nSELECT doc_id, pos, surface, kb_id, confidence FROM mentions"
 SQL_KG_LINKED = f"WITH {_SQL_LINKED}\nSELECT doc_id, pos, surface, kb_id FROM linked"
 SQL_KG_COOCCUR = f"WITH {_SQL_COOCCUR}\nSELECT subj, obj, weight FROM cooccur"
+def q_kg_entity_degree(spark, sf_dir):
+    """Graph analytics over the materialized edges: weighted degree per
+    canonical entity (undirected co-occurrence graph)."""
+    co = doc_cooccurrence(_read(spark, sf_dir, "documents"))
+    both = (co.select(F.col("subj").alias("node"), "weight")
+            .unionByName(co.select(F.col("obj").alias("node"), "weight")))
+    return (both.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"),
+                 F.sum("weight").alias("weighted_degree")))
+
+
+SQL_KG_DEGREE = f"""WITH {_SQL_COOCCUR},
+both_ends AS (
+  SELECT subj AS node, weight FROM cooccur
+  UNION ALL SELECT obj, weight FROM cooccur
+)
+SELECT node, count(*) AS degree, sum(weight) AS weighted_degree
+FROM both_ends GROUP BY node"""
+
+
 SQL_KG_CC = f"""WITH RECURSIVE {_SQL_COOCCUR},
 und AS (SELECT subj AS src, obj AS dst FROM cooccur
         UNION SELECT obj, subj FROM cooccur),
@@ -630,6 +650,7 @@ QUERIES: dict[str, Query] = {
     "kg_linked_entities": Query(q_kg_linked_entities, SQL_KG_LINKED),
     "kg_cooccurrence_edges": Query(q_kg_cooccurrence_edges, SQL_KG_COOCCUR, True),
     "kg_connected_components": Query(q_kg_connected_components, SQL_KG_CC),
+    "kg_entity_degree": Query(q_kg_entity_degree, SQL_KG_DEGREE),
     # KB-build parity (part/documents)
     "kb_metric_scoring": Query(q_kb_metric_scoring, SQL_KB_SCORING),
     "namelist_groupmerge": Query(q_namelist_groupmerge, SQL_NAMELIST),
