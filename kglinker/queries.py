@@ -618,10 +618,14 @@ _PIPE_CONVS = 150
 
 
 def _artifacts(spark):
-    if "art" not in _ART_CACHE:
+    # keyed by session: a broadcast from a stopped session must not leak
+    # into a new one (the driver may recreate sessions between checks)
+    key = id(spark)
+    if key not in _ART_CACHE:
+        _ART_CACHE.clear()
         from kglinker.jobs.pipeline import build_kb_side
-        _ART_CACHE["art"] = build_kb_side(spark)
-    return _ART_CACHE["art"]
+        _ART_CACHE[key] = build_kb_side(spark)
+    return _ART_CACHE[key]
 
 
 def q_kg_pipeline_mentions(spark, sf_dir):
