@@ -56,3 +56,29 @@ def test_mention_surfaces_are_text_substrings(spark, artifacts):
     for m in mentions.itertuples():
         t = text_by_key[(m.conv_id, m.turn_idx)]
         assert t[m.start:m.end] == m.surface
+
+
+def test_single_conversation_spanning_many_arrow_batches(spark, artifacts,
+                                                         artifacts_bcast):
+    """One 25k-turn conversation exceeds maxRecordsPerBatch (10k) → the
+    mapInPandas carry-over must reassemble it before annotation (state
+    would otherwise reset mid-conversation)."""
+    from pyspark.sql import functions as F
+    from kglinker.extract.stage import annotate_pdf, extract_mentions
+    n = 25000
+    tdf = (spark.range(n)
+           .select(F.lit("conv_big").alias("conv_id"),
+                   F.col("id").cast("int").alias("turn_idx"),
+                   F.when(F.col("id") % 100 == 0,
+                          F.lit("Marie Curie visited Praha ."))
+                    .when(F.col("id") % 100 == 1,
+                          F.lit("later ona moved to Germany ."))
+                    .otherwise(F.lit("nothing happened")).alias("text")))
+    got = extract_mentions(tdf, artifacts_bcast, num_partitions=2).toPandas()
+    want = annotate_pdf(tdf.toPandas(), artifacts)
+    assert len(got) == len(want) > 0
+    # pronoun corefs exist → the turn-1 antecedent survived batch splits
+    assert (got["mention_type"] == "coref").sum() == (n // 100)
+    g = got.sort_values(["turn_idx", "start"]).reset_index(drop=True)
+    w = want.sort_values(["turn_idx", "start"]).reset_index(drop=True)
+    assert (g["kb_id"].fillna(-1) == w["kb_id"].fillna(-1)).all()

@@ -103,3 +103,18 @@ def test_resume_zero_recompute(spark, tmp_path):
     s1 = {tuple(r) for r in edges.select("subj", "pred", "obj", "conv_id").collect()}
     s2 = {tuple(r) for r in edges2.select("subj", "pred", "obj", "conv_id").collect()}
     assert s1 == s2
+
+
+def test_edges_partition_pruning(spark, tmp_path, artifacts_bcast, kb_scored):
+    """Materialized edges are pred-partitioned; a pred filter must prune
+    at scan time (PartitionFilters), not post-scan."""
+    from kglinker.extract.stage import extract_mentions
+    from kglinker.graph.materialize import entity_table, write_graph
+    m = extract_mentions(transcripts_df(spark, 20), artifacts_bcast)
+    t = build_triples(m, kb_scored)
+    write_graph(t, entity_table(kb_scored), str(tmp_path / "g"))
+    edges = spark.read.parquet(str(tmp_path / "g" / "edges"))
+    q = edges.filter(F.col("pred") == "kb_uri")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "kb_uri" in plan
+    assert q.count() > 0
