@@ -135,14 +135,34 @@ class KBArtifacts:
     pronouns_male: frozenset[str]
     pronouns_female: frozenset[str]
     stop_surfaces: frozenset[str] = field(default_factory=frozenset)
+    # P5 `-l` variant (KB2namelist.py:417-421): lowercased-surface automaton
+    # for case-insensitive matching; None unless built with lowercase=True
+    lower_automaton: "Automaton | None" = None
 
     def dumps(self) -> bytes:
         return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
 
 
+def _lower_entries(entries: dict) -> dict:
+    """Merge payloads under lowercased surfaces (deterministic: surfaces
+    visited in sorted order; candidate order preserved, first wins)."""
+    out: dict[str, tuple[tuple[int, ...], bool]] = {}
+    for s in sorted(entries):
+        ids, frag = entries[s]
+        low = s.lower()
+        if low in out:
+            pids, pfrag = out[low]
+            merged = pids + tuple(i for i in ids if i not in pids)
+            out[low] = (merged, pfrag or frag)
+        else:
+            out[low] = (ids, frag)
+    return out
+
+
 def build_artifacts(kb_scored_rows: list[dict],
                     namelist_rows: list[dict],
-                    subname_rows: list[dict]) -> KBArtifacts:
+                    subname_rows: list[dict],
+                    lowercase: bool = False) -> KBArtifacts:
     """Compile collected DataFrames into the broadcast payload.
 
     ``kb_scored_rows``: dicts with the KB projection columns;
@@ -186,6 +206,7 @@ def build_artifacts(kb_scored_rows: list[dict],
         nationality_forms=frozenset(nationality_forms()),
         pronouns_male=pron_m,
         pronouns_female=pron_f,
+        lower_automaton=Automaton(_lower_entries(entries)) if lowercase else None,
     )
 
 

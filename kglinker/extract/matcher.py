@@ -101,10 +101,16 @@ def _find_unknown_names(text: str, taken: list[tuple[int, int]],
 def annotate_conversation(conv_id: str,
                           turns: list[tuple[int, str]],
                           art: KBArtifacts,
-                          detect_unknown_names: bool = False) -> list[MentionRow]:
+                          detect_unknown_names: bool = False,
+                          case_insensitive: bool = False) -> list[MentionRow]:
     """Annotate one conversation. ``turns`` must be (turn_idx, text) sorted
-    by turn_idx (the stable ordering invariant)."""
+    by turn_idx (the stable ordering invariant).
+
+    ``case_insensitive`` uses the P5 lowercase automaton variant
+    (requires artifacts built with ``lowercase=True``); offsets stay
+    anchored to the original text, surfaces keep original casing."""
     auto = art.automaton
+    use_lower = case_insensitive and art.lower_automaton is not None
     meta = art.kb_meta
     out: list[MentionRow] = []
 
@@ -118,7 +124,17 @@ def annotate_conversation(conv_id: str,
 
     for turn_idx, text in turns:
         st = _sanitize(text)
-        matches = auto.find_matches(st)
+        if use_lower:
+            low = st.lower()
+            if len(low) == len(st):  # guard rare length-changing lowercasing
+                from kglinker.automaton.build import Match
+                matches = [Match(m.start, m.end, st[m.start:m.end],
+                                 m.kb_ids, m.is_fragment)
+                           for m in art.lower_automaton.find_matches(low)]
+            else:
+                matches = auto.find_matches(st)
+        else:
+            matches = auto.find_matches(st)
         if not matches and not detect_unknown_names:
             # fast path: only dates possible on this turn
             for d in find_dates(st):

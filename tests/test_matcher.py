@@ -128,3 +128,20 @@ def test_d2_copula_job_keeps_person(artifacts):
     # person job restricts to the person (ner_cz.py:302-317)
     rows = _rows(artifacts, ["Washington was a famous general in the war ."])
     assert rows[0].kb_id == 2
+
+
+def test_case_insensitive_lowercase_automaton():
+    # P5 `-l` variant: artifacts built with lowercase=True match any casing
+    from kglinker.automaton.build import build_artifacts
+    kb = [dict(kb_id=1, type="settlement", name="Praha", confidence=50.0,
+               wiki_url="https://w/1", aliases="", redirects="", gender="",
+               date_of_birth="", date_of_death="", jobs="", nationality="",
+               location="", country="", founded="", start="", end="")]
+    nl = [dict(surface="Praha", kb_ids=[1], is_fragment=False)]
+    art = build_artifacts(kb, nl, [], lowercase=True)
+    rows = annotate_conversation("c", [(0, "we saw PRAHA and praha .")], art,
+                                 case_insensitive=True)
+    assert [(r.surface, r.kb_id) for r in rows] == [("PRAHA", 1), ("praha", 1)]
+    # default case-sensitive path unchanged
+    rows2 = annotate_conversation("c", [(0, "we saw PRAHA .")], art)
+    assert rows2 == []
