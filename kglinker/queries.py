@@ -321,6 +321,52 @@ SELECT doc_a, doc_b, est_sim FROM (
 ) WHERE est_sim >= 0.5"""
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: minhash-LSH pairs → connected components →
+    (doc_id, cluster_id, keep) where keep marks the per-cluster survivor
+    (min doc_id) — the training-data dedup end product."""
+    from kglinker.graph.canonicalize import connected_components
+    from kglinker.ops.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(_read(spark, sf_dir, "documents"),
+                              num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
+                              min_est=0.5)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    return cc.select(F.col("node").alias("doc_id"),
+                     F.col("comp").alias("cluster_id"),
+                     (F.col("node") == F.col("comp")).alias("keep"))
+
+
+_SQL_MINHASH_CAND = f"""
+{_SQL_TOKS.strip()},
+{_SQL_SHINGLES.strip()},
+sig AS (SELECT doc_id, {_SQL_SIG_COLS} FROM shingles GROUP BY doc_id),
+banded AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b, {fround_sql(_SQL_EST, 4)} AS est_sim
+    FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+  ) WHERE est_sim >= 0.5
+)"""
+
+SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE {_SQL_MINHASH_CAND},
+und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+closure(a, b) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT c.a, u.dst FROM closure c JOIN und u ON c.b = u.src
+)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM closure GROUP BY a
+)"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     from kglinker.ops.dedup import simhash_signatures
     return simhash_signatures(_read(spark, sf_dir, "documents"), bits=16)
@@ -664,6 +710,7 @@ QUERIES: dict[str, Query] = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, True),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH, True),
     "dedup_simhash": Query(q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     # similarity
     "ann_cosine_topk": Query(q_ann_cosine_topk, SQL_ANN_COSINE, True),
