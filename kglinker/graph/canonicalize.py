@@ -77,9 +77,16 @@ def alias_match_edges(kb: DataFrame, threshold: int = 2) -> DataFrame:
         (F.coalesce(F.col("x.wiki_url"), F.lit("")) != "")
         & (F.coalesce(F.col("y.wiki_url"), F.lit("")) != "")
         & (F.col("x.wiki_url") != F.col("y.wiki_url")), -1000).otherwise(0)
+    # +2 only for equal NON-EMPTY urls: two url-less rows sharing a surface
+    # must not auto-merge (kb_compare.py treats a missing unique field as
+    # unknown, not as a match)
+    url_bonus = F.when(
+        (F.coalesce(F.col("x.wiki_url"), F.lit("")) != "")
+        & (F.coalesce(F.col("y.wiki_url"), F.lit("")) != "")
+        & (F.col("x.wiki_url") == F.col("y.wiki_url")), 2).otherwise(0)
     score = (eq("type") + eq("country") + eq("location")
              + eq("date_of_birth") + eq("founded")
-             + F.when(F.col("x.wiki_url") == F.col("y.wiki_url"), 2).otherwise(0)
+             + url_bonus
              + contradiction)
     scored = j.select("src", "dst", score.alias("score")) \
               .filter(F.col("score") >= threshold)

@@ -33,8 +33,11 @@ METRIC_COLS = ["description_length", "columns_number"]
 
 
 def _norm(col: str, deflate: float, w: Window) -> F.Column:
+    # NULL metric ⇒ 0 contribution (metrics_knowledge_base.py insert_metrics
+    # leaves the score term at 0 when the stat is absent); without the guard
+    # least(NULL/max, 1.0) would return 1.0 because least() skips nulls.
     mx = F.max(F.col(col)).over(w) * F.lit(deflate)
-    return F.when(mx <= 0, F.lit(0.0)).otherwise(
+    return F.when(F.col(col).isNull() | (mx <= 0), F.lit(0.0)).otherwise(
         F.least(F.col(col) / mx, F.lit(1.0))
     )
 
@@ -44,8 +47,12 @@ def score_kb(kb: DataFrame) -> DataFrame:
     w = Window.partitionBy("type")
 
     # description_length / columns_number raw metrics
-    # (metrics_knowledge_base.py:298-311)
-    non_id_cols = [c for c in kb.columns if c != "kb_id"]
+    # (metrics_knowledge_base.py:298-311) — the reference's nonempty_columns
+    # excludes the wiki metric columns (and any score columns) so a row with
+    # wiki stats is not double-counted into score_metrics.
+    excluded = {"kb_id"} | {c for c, _ in WIKI_METRICS} \
+        | {"score_wiki", "score_metrics", "confidence"}
+    non_id_cols = [c for c in kb.columns if c not in excluded]
     cols_number = sum(
         (F.when(F.col(c).cast("string").isNotNull() & (F.col(c).cast("string") != ""), 1)
           .otherwise(0))
@@ -58,9 +65,14 @@ def score_kb(kb: DataFrame) -> DataFrame:
     wiki_norms = [_norm(c, d, w) for c, d in WIKI_METRICS]
     metric_norms = [_norm(c, 1.0, w) for c in METRIC_COLS]
 
-    score_wiki = F.lit(100.0) * (
-        sum(n * F.lit(wt) for n, wt in zip(wiki_norms, WIKI_WEIGHTS))
-        / F.lit(sum(WIKI_WEIGHTS))
+    # no backlinks stat at all ⇒ score_wiki = 0 (reference
+    # metrics_knowledge_base.py insert_metrics: the wiki score is only
+    # emitted when the backlinks stat exists for the row)
+    score_wiki = F.when(F.col("wiki_backlinks").isNull(), F.lit(0.0)).otherwise(
+        F.lit(100.0) * (
+            sum(n * F.lit(wt) for n, wt in zip(wiki_norms, WIKI_WEIGHTS))
+            / F.lit(sum(WIKI_WEIGHTS))
+        )
     )
     score_metrics = F.lit(100.0) * (
         sum(metric_norms) / F.lit(float(len(metric_norms)))

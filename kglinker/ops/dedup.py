@@ -121,7 +121,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     quadratic only within blocks (the standard ER blocking pattern; the
     unblocked scale path is minhash_lsh_pairs)."""
     from kglinker.ops.util import explode_token_ngrams
-    grams = explode_token_ngrams(docs, 3, ["doc_id", "source", "lang"]).distinct()
+    grams = explode_token_ngrams(docs, n, ["doc_id", "source", "lang"]).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (a.join(b, (F.col("a.source") == F.col("b.source"))

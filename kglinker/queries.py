@@ -141,7 +141,8 @@ both_ends AS (
   SELECT subj AS node, weight FROM cooccur
   UNION ALL SELECT obj, weight FROM cooccur
 )
-SELECT node, count(*) AS degree, sum(weight) AS weighted_degree
+SELECT node, count(*) AS degree,
+       CAST(sum(weight) AS BIGINT) AS weighted_degree
 FROM both_ends GROUP BY node"""
 
 
@@ -664,9 +665,11 @@ _PIPE_CONVS = 150
 
 
 def _artifacts(spark):
-    # keyed by session: a broadcast from a stopped session must not leak
-    # into a new one (the driver may recreate sessions between checks)
-    key = id(spark)
+    # keyed by a stable session token: id(spark) can be reused by CPython
+    # after a stopped session is garbage-collected, which would hand back a
+    # broadcast bound to a dead SparkContext
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime)
     if key not in _ART_CACHE:
         _ART_CACHE.clear()
         from kglinker.jobs.pipeline import build_kb_side

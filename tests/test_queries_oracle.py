@@ -27,6 +27,11 @@ def duck():
 
 
 def _normalize(df):
+    """Type-tagged value rendering: the driver's hash distinguishes int 146
+    from float 146.0 (that mismatch cost kg_entity_degree its green in r1),
+    so this check must be at least that strict — floats and ints normalize
+    to different strings even when numerically equal."""
+    import numpy as np
     cols = sorted(df.columns)
     df = df[cols]
     rows = []
@@ -35,8 +40,12 @@ def _normalize(df):
         for v in tup:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 row.append(None)
-            elif isinstance(v, float):
-                row.append(f"{v:.10g}")
+            elif isinstance(v, (bool, np.bool_)):
+                row.append(f"b:{bool(v)}")
+            elif isinstance(v, (float, np.floating)):
+                row.append(f"f:{float(v)!r}")
+            elif isinstance(v, (int, np.integer)):
+                row.append(f"i:{int(v)}")
             else:
                 row.append(str(v))
         rows.append(tuple(row))
