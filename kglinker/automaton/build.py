@@ -177,24 +177,38 @@ def build_artifacts(kb_scored_rows: list[dict],
                        bool(r["is_fragment"]))
         for r in namelist_rows
     }
+    def _wz(d: str | None) -> str:
+        """showWithoutZeros (reference dates.py:50-64): '1920-00-00'→'1920'."""
+        parts = (d or "").split("-")
+        while parts and parts[-1] == "00":
+            parts.pop()
+        return "-".join(parts)
+
     meta: dict[int, dict] = {}
     for r in kb_scored_rows:
         def _multi(key: str) -> tuple[str, ...]:
             v = r.get(key) or ""
             return tuple(x for x in v.split("|") if x)
+        t = r["type"]
+        # per-purpose date sets (ner_cz.py person_percentile uses DOB/DOD,
+        # organisation_percentile FOUNDED/CANCELLED, events START/END)
+        org_fields = (("founded", "cancelled") if not t.startswith("event")
+                      else ("start", "end"))
         meta[int(r["kb_id"])] = {
-            "type": r["type"],
+            "type": t,
             "name": r["name"],
             "gender": r.get("gender") or "",
             "confidence": float(r.get("confidence") or 0.0),
             "nationality": _multi("nationality"),
             "jobs": _multi("jobs"),
-            "dates": tuple(d for d in (r.get("date_of_birth"), r.get("date_of_death"),
-                                       r.get("founded"), r.get("start"), r.get("end"))
-                           if d),
+            "person_dates": tuple(_wz(r.get(k)) for k in
+                                  ("date_of_birth", "date_of_death")
+                                  if r.get(k)),
+            "org_dates": tuple(_wz(r.get(k)) for k in org_fields if r.get(k)),
             "wiki_url": r.get("wiki_url") or "",
             "country": r.get("country") or "",
             "location": r.get("location") or "",
+            "source_loc": r.get("source_loc") or "",
         }
     sub = {r["subname"]: tuple(int(i) for i in r["kb_ids"]) for r in subname_rows}
     pron_m = frozenset({p for b in PRONOUNS_MALE for p in (b, b[:1].upper() + b[1:])})
@@ -218,8 +232,9 @@ def broadcast_artifacts(spark, kb_scored, namelist, subnames):
     collect to ``toLocalIterator`` + on-disk trie, the broadcast call is
     unchanged."""
     kb_cols = ["kb_id", "type", "name", "gender", "confidence", "nationality",
-               "jobs", "date_of_birth", "date_of_death", "founded", "start",
-               "end", "wiki_url", "country", "location"]
+               "jobs", "date_of_birth", "date_of_death", "founded",
+               "cancelled", "start", "end", "wiki_url", "country", "location",
+               "source_loc"]
     kb_rows = [r.asDict() for r in kb_scored.select(*kb_cols).collect()]
     nl_rows = [r.asDict() for r in namelist.collect()]
     sub_rows = [r.asDict() for r in subnames.collect()]

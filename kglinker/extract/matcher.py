@@ -3,33 +3,42 @@
 This is the engine's single UDF family (SURVEY §2.10): the whole
 per-document pipeline of ``/root/reference/ner_cz.py:1542-1678``
 (``recognize()``) re-expressed as one pure function over an ordered list of
-turns, executed distributed via ``applyInPandas`` grouped by ``conv_id``.
-Grouped-map is *required* — not a compromise — because the reference's
-D5/D7/D8 semantics are order-dependent within a document: later mentions see
-earlier disambiguation choices (``ner_cz.py:402-408``), fragment coref binds
-to the nearest *preceding* mention (``ner_cz.py:1437-1446``), pronoun coref
-is a running male/female state machine (``ner_cz.py:411-491``). A
-conversation is the reference's "document"; a turn is its "paragraph"
-(SURVEY §1.1).
+turns, executed distributed via ``mapInPandas`` grouped by ``conv_id``.
+Grouped processing is *required* — not a compromise — because the
+reference's D5/D7/D8 semantics are order-dependent within a document:
+later mentions see earlier disambiguation choices (``ner_cz.py:402-408``),
+fragment coref binds to the nearest *preceding* mention
+(``ner_cz.py:1437-1446``), pronoun coref is a running male/female state
+machine (``ner_cz.py:411-491``). A conversation is the reference's
+"document"; a turn is its "paragraph" (SURVEY §1.1).
 
 Stage map (reference → here):
  M11 sanitize        ner_cz.py:1577        → _sanitize (offset-preserving)
  M2/M7 matching      figa_cedar.tpp:906    → Automaton.find_matches
  M10 nationality     ner_cz.py:1602-1608   → context-only tokens
  M8/M9 dates         dates.py:349-411      → find_dates + overlap drop
- D3 static argmax    ner_cz.py:332-338     → candidates[0] (A2 pre-sorted,
-                                             first-max tie-break = reference
-                                             list.index(max))
- A6/D4/D5 context    ner_cz.py:633-1011    → _context_score with running
-                                             chosen-name feedback
- D6 fixup            ner_cz.py:1238-1269   → nearest same-surface strong
+ D2 ctx-free filter  ner_cz.py:279-317     → _context_free_filter
+ A6 context build    ner_cz.py:592-757     → _ConvContext (two-phase:
+                                             stats from unambiguous
+                                             mentions document-wide, then
+                                             sequential updates)
+ D3 static argmax    ner_cz.py:332-338     → first-max over static+context
+ D4 per-type scores  ner_cz.py:805-1011    → _ConvContext.percentile
+                                             (share ratios, int division)
+ D5 seq feedback     ner_cz.py:402-408     → mentions['person'] increment
+ D6 fixup            ner_cz.py:1238-1269   → sense-first then surface
  D7 fragment coref   ner_cz.py:1409-1426   → subname_map + nearest
                                              preceding person
  D8 pronoun coref    ner_cz.py:411-491     → last male/female state
  D9 back-off         ner_cz.py:1429-1432   → static prior fallback
  D10 unknown names   process_outputs.py:287-344 → _find_unknown_names
-                     (capitalized-run scan, overlap-absorb, negative
-                      synthetic ids ner_cz.py:1295-1305)
+
+Deliberate deviation: the reference's ``MENTIONS_TYPE`` dict is a module
+global shared across paragraphs AND documents (the ``FIXME`` at
+ner_cz.py:635) — the cross-*paragraph* sharing is semantic (kept: mention
+counts are document-global), the cross-*document* leak is a bug that would
+make distributed output depend on per-executor processing order (dropped:
+counts are scoped per conversation).
 """
 
 from __future__ import annotations
@@ -71,10 +80,6 @@ class MentionRow:
     resolved: str
 
 
-def _year(datestr: str) -> str:
-    return datestr[:4] if datestr else ""
-
-
 _CAP_RUN = re.compile(
     r"(?<![\w'])[A-ZÁČĎÉĚÍŇÓŘŠŤÚŮÝŽ][\w']+(?: [A-ZÁČĎÉĚÍŇÓŘŠŤÚŮÝŽ][\w']+)+")
 
@@ -98,6 +103,147 @@ def _find_unknown_names(text: str, taken: list[tuple[int, int]],
     return out
 
 
+def _norm_nat(surface: str) -> str:
+    """Canonical nationality form: the P7 4-variant expansion (±'ý',
+    ±lowercase, natToKB.py:12-30) folds back to the KB value."""
+    return surface.rstrip("ý").capitalize()
+
+
+def _mention_dates(resolved: str, kind: str) -> list[str]:
+    """showWithoutZeros forms of a date/interval mention's endpoints
+    (Context build, ner_cz.py:749-756)."""
+    parts = resolved.split("--") if kind == "interval" else [resolved]
+    out = []
+    for p in parts:
+        comps = p.split("-")
+        while comps and comps[-1] == "00":
+            comps.pop()
+        out.append("-".join(comps))
+    return out
+
+
+class _ConvContext:
+    """Reference ``Context`` (ner_cz.py:588-757) scoped to one conversation.
+
+    - ``mentions``: type → NAME → count, **document-global** (the shared
+      MENTIONS_TYPE dict): phase B counts every unambiguous mention from
+      every turn; phase C increments chosen ambiguous persons sequentially.
+    - per-turn lists: nationalities (distinct, normalized), dates
+      (showWithoutZeros, duplicates kept, interval endpoints split),
+      professions (jobs of ambiguous person candidates found in turn text).
+    """
+
+    def __init__(self):
+        self.mentions: dict[str, dict[str, int]] = {}
+        self.nats: dict[int, list[str]] = {}
+        self.dates: dict[int, list[str]] = {}
+        self.profs: dict[int, list[str]] = {}
+
+    # -- phase B -------------------------------------------------------------
+    def add_turn(self, turn_idx: int, text: str, kb_cands: list, dates: list,
+                 nat_surfaces: list, meta: dict) -> None:
+        nats = self.nats.setdefault(turn_idx, [])
+        for s in nat_surfaces:
+            n = _norm_nat(s)
+            if n not in nats:
+                nats.append(n)
+        dlist = self.dates.setdefault(turn_idx, [])
+        for d in dates:
+            dlist.extend(_mention_dates(d.resolved, d.kind))
+        profs = self.profs.setdefault(turn_idx, [])
+        for _m, cand in kb_cands:
+            if len(cand) == 1:
+                info = meta[cand[0]]
+                self._count(info)
+            else:
+                # professions of ambiguous person candidates present in the
+                # turn text (ner_cz.py:745-751)
+                for c in cand:
+                    info = meta[c]
+                    if info["type"].startswith("person"):
+                        for p in info["jobs"]:
+                            if p and p in text and p not in profs:
+                                profs.append(p)
+
+    def _count(self, info: dict) -> None:
+        # person:artist folds into person (ner_cz.py:735-737); settlements
+        # also count their COUNTRY value into the country bucket (the
+        # populatedPlace branch's name+country counting, ner_cz.py:665-683,
+        # harmonized to the 'settlement'-vocabulary percentile lookups)
+        t = info["type"]
+        bucket = "person" if t == "person:artist" else t
+        b = self.mentions.setdefault(bucket, {})
+        b[info["name"]] = b.get(info["name"], 0) + 1
+        if t == "settlement" and info["country"]:
+            c = self.mentions.setdefault("country", {})
+            c[info["country"]] = c.get(info["country"], 0) + 1
+
+    # -- phase C feedback (D5) ------------------------------------------------
+    def add_chosen_person(self, name: str) -> None:
+        b = self.mentions.setdefault("person", {})
+        b[name] = b.get(name, 0) + 1
+
+    # -- scoring --------------------------------------------------------------
+    def _share(self, names: list[str], bucket: str) -> int:
+        """mentioned_in_par (ner_cz.py:805-817): first matching name's count
+        as an integer percentage of the bucket total."""
+        b = self.mentions.get(bucket)
+        if not b:
+            return 0
+        cnt = 0
+        for nm in names:
+            if nm and nm in b:
+                cnt = b[nm]
+                break
+        if not cnt:
+            return 0
+        return cnt * 100 // sum(b.values())
+
+    def percentile(self, info: dict, turn_idx: int) -> float:
+        """D4 per-type context score (ner_cz.py:821-970), share ratios with
+        the reference's py2 integer division inside each sub-score."""
+        t = info["type"]
+        if t.startswith("person"):
+            nats = self.nats.get(turn_idx, [])
+            n_s = sum(1 for nat in info["nationality"] if nat in nats)
+            if nats:
+                n_s = n_s * 100 // len(nats)
+            dates = self.dates.get(turn_idx, [])
+            d_s = sum(1 for cd in dates for pdt in info["person_dates"]
+                      if cd in pdt or pdt in cd)
+            if dates:
+                d_s = d_s * 100 // len(dates)
+            profs = self.profs.get(turn_idx, [])
+            p_s = sum(1 for j in info["jobs"] if j in profs)
+            if profs:
+                p_s = p_s * 100 // len(profs)
+            m_s = self._share([info["name"]], "person")
+            return (n_s + d_s + p_s + m_s) / 4.0
+        if t in ("organisation", "event"):
+            m_s = self._share([info["name"]], t)
+            loc_s = self._share([info["location"]], "settlement")
+            dates = self.dates.get(turn_idx, [])
+            d_s = sum(1 for cd in dates for od in info["org_dates"]
+                      if od and (cd in od or od in cd))
+            if dates:
+                d_s = d_s * 100 // len(dates)
+            return (m_s + loc_s + d_s) / 3.0
+        if t in ("country", "country:former", "settlement"):
+            m_s = self._share([info["name"]], t)
+            if t == "settlement":
+                c_s = self._share([info["country"]], "country")
+                return (m_s + c_s) / 2.0
+            return float(m_s)
+        if t in ("watercourse", "waterarea"):
+            m_s = self._share([info["name"]], t)
+            if t == "watercourse":
+                g_s = self._share([info["source_loc"]], "geo")
+                return (m_s + g_s) / 2.0
+            return float(m_s)
+        # common_percentile for everything else (geo:*, ner_cz.py:908-913)
+        return float(self._share([info["name"]], t))
+
+
 def annotate_conversation(conv_id: str,
                           turns: list[tuple[int, str]],
                           art: KBArtifacts,
@@ -112,16 +258,9 @@ def annotate_conversation(conv_id: str,
     auto = art.automaton
     use_lower = case_insensitive and art.lower_automaton is not None
     meta = art.kb_meta
-    out: list[MentionRow] = []
 
-    # running cross-turn state (reference: document-scope registers)
-    chosen_names: dict[str, int] = {}      # person canonical name → count (D5)
-    conv_surfaces_seen: set[str] = set()   # surfaces of all chosen entities
-    last_person_by_gender: dict[str, int] = {}   # D8 state
-    person_mentions: list[tuple[int, int, int, str]] = []  # (turn, start, kb_id, surface) for D7
-    tied_mentions: list[int] = []          # indexes into out needing D6 fixup
-    name_registry: dict[str, int] = {}     # D10 surface → negative synthetic id
-
+    # ---- phase A: scan every turn (matching is context-free) ----------------
+    scanned = []  # (turn_idx, st, kb_cands, fragments, pronouns, dates, nats)
     for turn_idx, text in turns:
         st = _sanitize(text)
         if use_lower:
@@ -135,22 +274,18 @@ def annotate_conversation(conv_id: str,
                 matches = auto.find_matches(st)
         else:
             matches = auto.find_matches(st)
-        if not matches and not detect_unknown_names:
-            # fast path: only dates possible on this turn
-            for d in find_dates(st):
-                out.append(MentionRow(conv_id, turn_idx, d.start, d.end,
-                                      d.kind, st[d.start:d.end], None,
-                                      d.resolved))
-            continue
 
-        # split: kb mentions / pronouns / nationality context / fragments
-        kb_matches, pronouns, fragments = [], [], []
-        turn_nats: set[str] = set()
+        kb_cands, pronouns, fragments = [], [], []
+        turn_nats: list[str] = []
         for m in matches:
             if m.kb_ids:
-                kb_matches.append(m)
+                cand = [c for c in m.kb_ids if c in meta]
+                if len(cand) > 1:
+                    cand = _context_free_filter(cand, meta, st, m.start, m.end)
+                if cand:
+                    kb_cands.append((m, cand))
             elif m.surface in art.nationality_forms:
-                turn_nats.add(m.surface)          # M10: context-only
+                turn_nats.append(m.surface)       # M10: context-only
             elif (m.surface in art.pronouns_male
                   or m.surface in art.pronouns_female):
                 pronouns.append(m)
@@ -161,17 +296,32 @@ def annotate_conversation(conv_id: str,
         spans = [(m.start, m.end) for m in matches]
         dates = [d for d in find_dates(st)
                  if not any(not (d.end <= s or d.start >= e) for s, e in spans)]
-        turn_years = {_year(d.resolved) for d in dates}
+        scanned.append((turn_idx, st, kb_cands, fragments, pronouns, dates,
+                        turn_nats))
 
-        # per-turn event stream ordered by offset: disambiguation is
-        # sequential (D5) so pronouns/fragments see earlier choices
+    # ---- phase B: document-level context from unambiguous mentions ----------
+    ctx = _ConvContext()
+    for turn_idx, st, kb_cands, _f, _p, dates, turn_nats in scanned:
+        ctx.add_turn(turn_idx, st, kb_cands, dates, turn_nats, meta)
+
+    # ---- phase C: sequential disambiguation + coreference -------------------
+    out: list[MentionRow] = []
+    last_person_by_gender: dict[str, int] = {}   # D8 state
+    person_mentions: list[tuple[int, int, int, str]] = []  # (turn, start, kb_id, surface) for D7
+    poor_mentions: list[tuple[int, tuple[int, ...]]] = []  # (out idx, senses) for D6
+    name_registry: dict[str, int] = {}     # D10 surface → negative synthetic id
+
+    for turn_idx, st, kb_cands, fragments, pronouns, dates, _nats in scanned:
         events: list[tuple[int, str, object]] = []
-        events += [(m.start, "kb", m) for m in kb_matches]
+        events += [(m.start, "kb", (m, cand)) for m, cand in kb_cands]
         events += [(m.start, "frag", m) for m in fragments]
         events += [(m.start, "pron", m) for m in pronouns]
         events += [(d.start, "date", d) for d in dates]
         if detect_unknown_names:
-            taken = spans + [(d.start, d.end) for d in dates]
+            taken = ([(m.start, m.end) for m, _ in kb_cands]
+                     + [(m.start, m.end) for m in fragments]
+                     + [(m.start, m.end) for m in pronouns]
+                     + [(d.start, d.end) for d in dates])
             events += [(s, "name", (s, e, surf, nid))
                        for s, e, surf, nid in
                        _find_unknown_names(st, taken, name_registry)]
@@ -189,27 +339,21 @@ def annotate_conversation(conv_id: str,
                                       obj.resolved))
                 continue
             if kind == "kb":
-                m = obj
-                cand = [c for c in m.kb_ids if c in meta]
-                if not cand:
-                    continue
-                if len(cand) > 1:
-                    cand = _context_free_filter(cand, meta, st, m.start, m.end)
+                m, cand = obj
                 if len(cand) == 1:
-                    chosen, tied = cand[0], False
+                    chosen, poor = cand[0], False
                 else:
-                    chosen, tied = _disambiguate(cand, meta, turn_nats,
-                                                 turn_years, chosen_names,
-                                                 conv_surfaces_seen)
+                    chosen, poor = _disambiguate(cand, meta, ctx, turn_idx)
                 row = MentionRow(conv_id, turn_idx, m.start, m.end, "kb",
                                  m.surface, chosen, str(chosen))
                 out.append(row)
-                if tied:
-                    tied_mentions.append(len(out) - 1)
+                if poor:
+                    poor_mentions.append((len(out) - 1, tuple(cand)))
                 info = meta[chosen]
-                conv_surfaces_seen.add(m.surface)
                 if info["type"].startswith("person"):
-                    chosen_names[info["name"]] = chosen_names.get(info["name"], 0) + 1
+                    if len(cand) > 1:
+                        # D5 feedback: ner_cz.py:402-408
+                        ctx.add_chosen_person(info["name"])
                     person_mentions.append((turn_idx, m.start, chosen, m.surface))
                     if info["gender"]:
                         last_person_by_gender[info["gender"]] = chosen
@@ -238,7 +382,7 @@ def annotate_conversation(conv_id: str,
                 out.append(MentionRow(conv_id, turn_idx, m.start, m.end,
                                       "coref", m.surface, ante, str(ante)))
 
-    _fix_poor_disambiguation(out, tied_mentions)
+    _fix_poor_disambiguation(out, poor_mentions)
     return out
 
 
@@ -270,34 +414,22 @@ def _context_free_filter(cand: list[int], meta: dict, text: str,
     return cand
 
 
-def _disambiguate(cand: list[int], meta: dict, turn_nats: set[str],
-                  turn_years: set[str], chosen_names: dict[str, int],
-                  conv_surfaces: set[str]) -> tuple[int, bool]:
-    """D3 static prior + D4 context score; first-max tie-break
-    (reference ``list.index(max)``, ner_cz.py:338, :400). Returns
-    (chosen, was_tied_on_score)."""
+def _disambiguate(cand: list[int], meta: dict, ctx: _ConvContext,
+                  turn_idx: int) -> tuple[int, bool]:
+    """D3 static prior + D4 per-type context percentile; first-max
+    tie-break (reference ``list.index(max)``, ner_cz.py:400). Returns
+    (chosen, poorly_disambiguated) — poor iff NO candidate scored any
+    context (ner_cz.py:393-394)."""
     scores: list[float] = []
+    poor = True
     for c in cand:
         info = meta[c]
-        static = info["confidence"]
-        ctx: list[int] = []
-        t = info["type"]
-        if t.startswith("person"):
-            ctx.append(100 if set(info["nationality"]) & {n.rstrip("ý").capitalize()
-                                                          for n in turn_nats} else 0)
-            ctx.append(100 if any(_year(d) in turn_years for d in info["dates"]) else 0)
-            ctx.append(100 if chosen_names.get(info["name"], 0) > 0 else 0)
-        elif t in ("settlement", "country"):
-            ctx.append(100 if info["country"] and info["country"] in conv_surfaces else 0)
-        elif t in ("organisation", "event"):
-            ctx.append(100 if info["location"] and info["location"] in conv_surfaces else 0)
-            ctx.append(100 if any(_year(d) in turn_years for d in info["dates"]) else 0)
-        # integer division parity (ner_cz.py:815): int mean of sub-scores
-        context = sum(ctx) // len(ctx) if ctx else 0
-        scores.append(static + context)
+        context = ctx.percentile(info, turn_idx)
+        if context > 0:
+            poor = False
+        scores.append(info["confidence"] + context)
     best = max(scores)
-    tied = scores.count(best) > 1
-    return cand[scores.index(best)], tied
+    return cand[scores.index(best)], poor
 
 
 def _nearest_predecessor(person_mentions: list[tuple[int, int, int, str]],
@@ -319,19 +451,29 @@ def _nearest_predecessor(person_mentions: list[tuple[int, int, int, str]],
     return by_sense if by_sense is not None else by_surface
 
 
-def _fix_poor_disambiguation(rows: list[MentionRow], tied: list[int]) -> None:
-    """D6: a score-tied mention adopts the sense of the nearest strong
-    (untied) mention with the same surface (ner_cz.py:1238-1269)."""
-    if not tied:
+def _fix_poor_disambiguation(rows: list[MentionRow],
+                             poor: list[tuple[int, tuple[int, ...]]]) -> None:
+    """D6 (ner_cz.py:1238-1269): a poorly-disambiguated mention adopts the
+    nearest strong mention whose chosen sense is among its candidate
+    senses; only if no sense-sharing strong mention exists does it fall
+    back to the nearest strong mention with the same *surface*."""
+    if not poor:
         return
-    tied_set = set(tied)
-    strong: dict[str, list[tuple[int, int, int]]] = {}
+    poor_idx = {i for i, _ in poor}
+    by_surface: dict[str, list[tuple[int, int, int]]] = {}
+    by_sense: dict[int, list[tuple[int, int, int]]] = {}
     for i, r in enumerate(rows):
-        if r.mention_type == "kb" and i not in tied_set:
-            strong.setdefault(r.surface, []).append((r.turn_idx, r.start, r.kb_id))
-    for i in tied:
+        if r.mention_type == "kb" and i not in poor_idx:
+            entry = (r.turn_idx, r.start, r.kb_id)
+            by_surface.setdefault(r.surface, []).append(entry)
+            by_sense.setdefault(r.kb_id, []).append(entry)
+    for i, senses in poor:
         r = rows[i]
-        cands = strong.get(r.surface)
+        cands: list[tuple[int, int, int]] = []
+        for s in senses:
+            cands += by_sense.get(s, [])
+        if not cands:
+            cands = by_surface.get(r.surface, [])
         if not cands:
             continue
         nearest = min(cands, key=lambda c: (abs(c[0] - r.turn_idx),
