@@ -2,11 +2,12 @@
 
 Recomputes the whole pipeline output — mentions → canonicalization →
 triples — in plain Python/pandas with no Spark, for P/R scoring of the
-distributed engine (BASELINE.md: triple P/R ≥ 0.95). The mention core is
-the same pure function the executors run (by construction — one
-implementation of the reference semantics); canonicalization and triple
-assembly are *independent* reimplementations of the relational logic in
-:mod:`kglinker.graph`, so joins/windows/CC get a real cross-check.
+distributed engine (BASELINE.md: triple P/R ≥ 0.95). Every stage is an
+*independent* second implementation: the mention stage comes from
+:mod:`kglinker.oracle_matcher` (its own matching/scoring/disambiguation
+code — since r2; the r1 version re-called the engine core, making the
+extraction P/R circular), canonicalization and triple assembly
+reimplement the relational logic of :mod:`kglinker.graph`.
 """
 
 from __future__ import annotations
@@ -16,11 +17,26 @@ from collections import defaultdict
 
 import pandas as pd
 
-from kglinker.automaton.build import KBArtifacts
 from kglinker.data.kb_fixture import kb_rows_as_dicts
-from kglinker.extract.stage import annotate_pdf
+from kglinker.oracle_matcher import OracleLinker
 
-__all__ = ["oracle_canonical_map", "oracle_triples", "precision_recall"]
+__all__ = ["oracle_canonical_map", "oracle_mentions", "oracle_triples",
+           "precision_recall"]
+
+_MENTION_COLS = ["conv_id", "turn_idx", "start", "end", "mention_type",
+                 "surface", "kb_id", "resolved"]
+
+
+def oracle_mentions(transcripts: pd.DataFrame,
+                    linker: OracleLinker) -> pd.DataFrame:
+    """Expected mentions frame via the independent linker (one call per
+    conversation under stable (conv_id, turn_idx) ordering)."""
+    pdf = transcripts.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    rows: list[tuple] = []
+    for conv, grp in pdf.groupby("conv_id", sort=True):
+        turns = [(int(r.turn_idx), r.text) for r in grp.itertuples()]
+        rows.extend(linker.annotate(str(conv), turns))
+    return pd.DataFrame(rows, columns=_MENTION_COLS)
 
 _TAG = re.compile(r"#(?:lang|ntype)=[^#|]*")
 
@@ -72,13 +88,14 @@ def oracle_canonical_map(kb_rows: list[dict] | None = None,
     return {v: find(v) for v in list(parent)}
 
 
-def oracle_triples(transcripts: pd.DataFrame, art: KBArtifacts,
+def oracle_triples(transcripts: pd.DataFrame, linker: OracleLinker,
                    kb_rows: list[dict] | None = None) -> set[tuple]:
     """Expected triple set {(subj, pred, obj, conv_id)}; conv_id None for
-    dim triples (entity_type / kb_uri)."""
+    dim triples (entity_type / kb_uri). ``linker`` is the independent
+    mention-stage oracle."""
     kb_rows = kb_rows if kb_rows is not None else kb_rows_as_dicts()
     canon = oracle_canonical_map(kb_rows)
-    mentions = annotate_pdf(transcripts, art)
+    mentions = oracle_mentions(transcripts, linker)
 
     triples: set[tuple] = set()
     for r in kb_rows:

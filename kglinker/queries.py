@@ -656,12 +656,26 @@ FROM documents"""
 
 
 # --------------------------------------------------------------------------
-# full KG pipeline over synthesized transcripts (rows-only: the sequential
-# per-conversation semantics are deliberately not SQL-expressible — SURVEY
-# §2.6 D5/D7/D8; correctness is covered by the pytest oracle)
+# full KG pipeline over synthesized transcripts. The sequential
+# per-conversation semantics (SURVEY §2.6 D5/D7/D8) are not relationally
+# expressible, so the DuckDB oracle reads PRECOMPUTED expected parquet
+# produced by the INDEPENDENT oracle implementation
+# (kglinker/oracle_matcher.py via kglinker/jobs/gen_expected.py) — a real
+# two-implementation cross-check, not a re-expression.
 # --------------------------------------------------------------------------
 
 _PIPE_CONVS = 150
+_EXPECTED_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "tests", "expected"))
+
+SQL_PIPE_MENTIONS = f"""
+SELECT conv_id, turn_idx, "start", "end", mention_type, surface, kb_id,
+       resolved
+FROM read_parquet('{_EXPECTED_DIR}/kg_pipeline_mentions.parquet')"""
+
+SQL_PIPE_TRIPLES = f"""
+SELECT subj, pred, obj, conv_id
+FROM read_parquet('{_EXPECTED_DIR}/kg_pipeline_triples.parquet')"""
 
 
 def _artifacts(spark):
@@ -730,7 +744,7 @@ QUERIES: dict[str, Query] = {
     # multimodal plumbing
     "multimodal_metadata": Query(q_multimodal_metadata, SQL_MM_META),
     "multimodal_decode": Query(q_multimodal_decode, SQL_MM_DECODE),
-    # full pipeline (rows-only)
-    "kg_pipeline_mentions": Query(q_kg_pipeline_mentions, None, True),
-    "kg_pipeline_triples": Query(q_kg_pipeline_triples, None, True),
+    # full pipeline — oracled against independent-implementation parquet
+    "kg_pipeline_mentions": Query(q_kg_pipeline_mentions, SQL_PIPE_MENTIONS, True),
+    "kg_pipeline_triples": Query(q_kg_pipeline_triples, SQL_PIPE_TRIPLES, True),
 }

@@ -25,8 +25,9 @@ def artifacts(spark, kb_scored):
     nl = build_namelist(kb_scored)
     sub = build_subname_map(kb_scored)
     kb_cols = ["kb_id", "type", "name", "gender", "confidence", "nationality",
-               "jobs", "date_of_birth", "date_of_death", "founded", "start",
-               "end", "wiki_url", "country", "location"]
+               "jobs", "date_of_birth", "date_of_death", "founded",
+               "cancelled", "start", "end", "wiki_url", "country", "location",
+               "source_loc"]
     return build_artifacts(
         [r.asDict() for r in kb_scored.select(*kb_cols).collect()],
         [r.asDict() for r in nl.collect()],
@@ -37,3 +38,15 @@ def artifacts(spark, kb_scored):
 @pytest.fixture(scope="session")
 def artifacts_bcast(spark, artifacts):
     return spark.sparkContext.broadcast(artifacts)
+
+
+@pytest.fixture(scope="session")
+def oracle_linker(spark, kb_scored):
+    """Independent mention-stage oracle: raw KB rows + the collected
+    namelist/subname build artifacts (data, not engine code)."""
+    from kglinker.data.kb_fixture import kb_rows_as_dicts
+    from kglinker.kb.names import build_namelist, build_subname_map
+    from kglinker.oracle_matcher import OracleLinker
+    nl = [r.asDict() for r in build_namelist(kb_scored).collect()]
+    sub = [r.asDict() for r in build_subname_map(kb_scored).collect()]
+    return OracleLinker(kb_rows_as_dicts(), nl, sub)

@@ -14,8 +14,10 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 20
-    # non-SQL-expressible ops are exactly the sequential-pipeline ones
-    assert set(qs) - set(osql) == {"kg_pipeline_mentions", "kg_pipeline_triples"}
+    # every registered query carries a driver oracle (since r2 the
+    # sequential-pipeline queries are gated against the independent-oracle
+    # expected parquet instead of rows-only)
+    assert set(qs) == set(osql)
 
 
 def test_multimodal_decode_stub_raises(spark):

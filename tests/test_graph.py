@@ -46,12 +46,12 @@ def test_alias_match_contradiction(spark):
     assert alias_match_edges(kb).count() == 0
 
 
-def test_triples_pr_vs_oracle(spark, artifacts, artifacts_bcast, kb_scored, tmp_path):
+def test_triples_pr_vs_oracle(spark, oracle_linker, kb_scored, tmp_path):
     edges = run_pipeline(spark, transcripts_df(spark, N_CONVS),
                          str(tmp_path / "run"), n_buckets=4)
     got = {(r["subj"], r["pred"], r["obj"], r["conv_id"])
            for r in edges.select("subj", "pred", "obj", "conv_id").collect()}
-    want = oracle_triples(transcripts_pdf(N_CONVS), artifacts)
+    want = oracle_triples(transcripts_pdf(N_CONVS), oracle_linker)
     p, r = precision_recall(got, want)
     assert p >= 0.95 and r >= 0.95, (p, r)
     assert p == 1.0 and r == 1.0   # engine should be exact, not just ≥.95

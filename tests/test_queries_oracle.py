@@ -39,7 +39,7 @@ def _normalize(df):
         row = []
         for v in tup:
             if v is None or (isinstance(v, float) and math.isnan(v)):
-                row.append(None)
+                row.append("\x00null")   # sortable null sentinel
             elif isinstance(v, (bool, np.bool_)):
                 row.append(f"b:{bool(v)}")
             elif isinstance(v, (float, np.floating)):
