@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 __all__ = ["unique_id_edges", "alias_match_edges", "connected_components",
            "canonical_map"]
@@ -96,25 +97,41 @@ def alias_match_edges(kb: DataFrame, threshold: int = 2) -> DataFrame:
             .filter(F.col("_rn") == 1).drop("_rn", "score"))
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20,
-                         num_partitions: int = 4) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 30,
+                         num_partitions: int | None = None,
+                         check_every: int = 2) -> DataFrame:
     """(node, comp) via iterative min-label propagation over undirected
-    edges(src, dst). Deterministic; converges in O(diameter) rounds —
-    alias graphs are near-star-shaped so 2–4 rounds in practice. Each
-    round is one shuffle; lineage is truncated via localCheckpoint to
-    keep plans bounded.
+    edges(src, dst). Deterministic; converges in O(diameter) rounds.
+    Each round is one shuffle keyed by node; lineage is truncated via
+    eager localCheckpoint so the plan stays bounded.
 
-    ``num_partitions`` defaults low because this runs on the KB-side
-    alias graph (small by design; SURVEY §2.7) — per-iteration task count,
-    not data volume, dominates the loop's wall time. Raise it if ever fed
-    a corpus-scale graph."""
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().repartition(num_partitions).cache()
+    Scale levers (this is also the corpus-scale dedup-cluster path):
+    - ``num_partitions`` defaults to 2× the cluster parallelism (input-
+      proportional); KB-side callers with tiny alias graphs pass a small
+      value explicitly since per-round task count dominates there.
+    - the driver-side convergence check runs every ``check_every`` rounds,
+      not every round; labels are monotonically non-increasing, so
+      equality with the last checked snapshot implies a fixpoint.
+    - the undirected edge list is partitioned by ``src`` and persisted
+      (memory/disk) so each round's join reuses a co-located build side.
+    - upgrade path for graphs with large diameter × trillion edges:
+      large-star/small-star (Kiveris et al.), which converges in
+      O(log n) rounds of the same shuffle shape.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    und = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .distinct()
+           .repartition(num_partitions, "src")
+           .persist(StorageLevel.MEMORY_AND_DISK))
     labels = (und.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("comp", F.col("node")))
-    for _ in range(max_iter):
+    prev_checked = labels   # identity labeling; valid monotonic baseline
+    for i in range(max_iter):
         nbr_min = (und.join(labels, und.dst == labels.node)
                    .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
         new = (labels.join(nbr_min, labels.node == nbr_min.src, "left")
@@ -122,11 +139,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                        F.least(F.col("comp"),
                                F.coalesce("nbr_comp", F.col("comp"))).alias("comp")))
         new = new.localCheckpoint(eager=True)
-        changed = (new.alias("n").join(labels.alias("o"), "node")
-                   .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count())
         labels = new
-        if changed == 0:
-            break
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            changed = (labels.alias("n")
+                       .join(prev_checked.alias("o"), "node")
+                       .filter(F.col("n.comp") != F.col("o.comp"))
+                       .limit(1).count())
+            if changed == 0:
+                break
+            prev_checked = labels
     und.unpersist()
     return labels
 
@@ -136,5 +157,7 @@ def canonical_map(kb: DataFrame, threshold: int = 2) -> DataFrame:
     component; rows not in the map keep their own id (use a left join +
     coalesce). Broadcastable: components only exist where duplicates do."""
     edges = unique_id_edges(kb).union(alias_match_edges(kb, threshold)).distinct()
-    cc = connected_components(edges)
+    # KB-side alias graph is tiny: a small fixed partition count beats the
+    # input-proportional default (per-round task overhead dominates)
+    cc = connected_components(edges, num_partitions=4)
     return cc.select(F.col("node").alias("kb_id"), F.col("comp").alias("canon_id"))

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from kglinker.runtime.partitioning import salted_count
 
@@ -78,17 +79,25 @@ def cooccurrence_triples(mentions: DataFrame,
                     .drop("canon_id"))
     # pairs generated inside the row from the per-conversation sorted
     # entity set (small, ≤ dozens): one groupBy(conv_id) shuffle + array
-    # expansion instead of a sort-merge self-join (and no second
-    # evaluation of the mentions pipeline)
+    # expansion instead of a sort-merge self-join
     per_conv = (ents.groupBy("conv_id")
                 .agg(F.sort_array(F.collect_set("kb_id")).alias("es")))
     es = F.col("es")
+    # persist: pairs feeds BOTH the weight aggregation and the final edge
+    # join — without it the whole upstream lineage (at 100 TB: the
+    # mapInPandas extraction over the full corpus) evaluates twice. Pairs
+    # are orders of magnitude smaller than the corpus (distinct entity
+    # pairs per conversation), so MEMORY_AND_DISK is cheap insurance.
     pairs = (per_conv.select("conv_id", F.explode(F.flatten(F.transform(
                 es, lambda x, i: F.transform(
                     F.slice(es, i + 2, F.size(es)),
                     lambda y: F.struct(x.cast("string").alias("subj"),
                                        y.cast("string").alias("obj")))))).alias("p"))
-             .select("conv_id", "p.subj", "p.obj"))
+             .select("conv_id", "p.subj", "p.obj")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    # weight via the salted two-stage agg (hot pairs spread over salts);
+    # the join back is probe-side-skewed on hot pairs → AQE skew split
+    # (enabled in runtime.session) handles it
     weighted = salted_count(pairs, ["subj", "obj"], salt_buckets=salt_buckets,
                             weight_col="weight")
     edges = (pairs.join(weighted, ["subj", "obj"])

@@ -2,17 +2,21 @@
 with per-partition lineage + metrics").
 
 Unit of work = a **conversation bucket**: ``bucket = pmod(xxhash64(conv_id),
-n_buckets)``. Each bucket is processed as one Spark job over *all*
-executors (a bucket is 1/n of the corpus, not one task), written to
-``out/bucket=K/`` with an atomic directory overwrite, and marked done by a
-lineage row carrying counts + wall time. A killed run resumes by
-anti-joining finished buckets — zero recomputation of completed work
-(SURVEY §5 idempotent-resume property).
+n_buckets)``. A run processes every not-yet-done bucket in ONE Spark job:
+the input is scanned once, the stage output is written with a dynamic
+partition overwrite on the bucket column (only pending buckets are
+touched; finished buckets' files are never rewritten), and per-bucket
+metrics come from ``Observation`` aggregates collected during that same
+job — no per-bucket re-scan, no separate count actions. Each finished
+bucket is then marked done by a lineage row carrying counts + wall time.
+A killed run resumes by skipping marked buckets — zero recomputation of
+completed work (SURVEY §5 idempotent-resume property); work in the killed
+job itself is uncommitted and simply re-runs.
 
 The reference has no equivalent (its resumability is "documents are
 processed one at a time from stdin", ``ner_cz.py:1718-1737``); this layer is
 what the north_rule adds for 10^12-turn batch runs. On Iceberg the
-per-bucket write maps to ``overwritePartitions()`` on a
+bucket-partitioned write maps to ``overwritePartitions()`` on a
 ``bucket(conv_id)``-partitioned table and the lineage table carries the KB
 snapshot id used for the automaton.
 """
@@ -25,7 +29,7 @@ import time
 import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["bucket_col", "LineageCheckpointer"]
@@ -36,7 +40,7 @@ def bucket_col(n_buckets: int) -> F.Column:
 
 
 class LineageCheckpointer:
-    """Drive a per-bucket stage with lineage markers.
+    """Drive a bucketed stage with lineage markers.
 
     ``out_path/bucket=K/`` holds stage output per bucket (parquet);
     ``lineage_path/`` holds one small JSON marker file per finished bucket
@@ -79,31 +83,51 @@ class LineageCheckpointer:
     def run(self, transcripts: DataFrame,
             stage: Callable[[DataFrame], DataFrame],
             max_buckets: int | None = None) -> list[int]:
-        """Process every not-yet-done bucket; returns buckets processed this
-        call. ``max_buckets`` limits the number processed (used by the
-        kill/resume test to simulate a dying run)."""
+        """Process every not-yet-done bucket in one scan+write job; returns
+        buckets processed this call. ``max_buckets`` limits how many buckets
+        are included in the job (used by the kill/resume test to simulate a
+        dying run — fewer buckets per commit = finer resume granularity)."""
         done = self.done_buckets()
         pending = [b for b in range(self.n_buckets) if b not in done]
         if max_buckets is not None:
             pending = pending[:max_buckets]
-        bucketed = transcripts.withColumn("_bucket", bucket_col(self.n_buckets))
-        processed = []
+        if not pending:
+            return []
+        t0 = time.time()
+
+        bucketed = transcripts.withColumn("bucket", bucket_col(self.n_buckets))
+        part = bucketed.filter(F.col("bucket").isin([int(b) for b in pending]))
+        # per-bucket input counts, measured DURING the single pass
+        obs_in = Observation(f"turns-{uuid.uuid4().hex[:8]}")
+        part = part.observe(
+            obs_in, *[F.count(F.when(F.col("bucket") == b, 1)).alias(f"b{b}")
+                      for b in pending])
+
+        out = stage(part.drop("bucket"))
+        # recompute the bucket from conv_id on the output (same hash) and
+        # observe per-bucket output counts in the same job
+        out = out.withColumn("bucket", bucket_col(self.n_buckets))
+        obs_out = Observation(f"rows-{uuid.uuid4().hex[:8]}")
+        out = out.observe(
+            obs_out, *[F.count(F.when(F.col("bucket") == b, 1)).alias(f"b{b}")
+                       for b in pending])
+
+        # dynamic overwrite: only the bucket partitions present in `out`
+        # are replaced; previously finished buckets' files are untouched
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.out_path))
+
+        wall_ms = int(1000 * (time.time() - t0))
+        n_in, n_out = obs_in.get, obs_out.get
         for b in pending:
-            t0 = time.time()
-            part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-            out = stage(part)
-            target = os.path.join(self.out_path, f"bucket={b}")
-            n_turns = part.count()
-            out.write.mode("overwrite").parquet(target)
-            n_out = out.sparkSession.read.parquet(target).count()
             self._mark_done(b, {
-                "n_turns": n_turns,
-                "n_rows_out": n_out,
-                "wall_ms": int(1000 * (time.time() - t0)),
+                "n_turns": int(n_in[f"b{b}"]),
+                "n_rows_out": int(n_out[f"b{b}"]),
+                "wall_ms": wall_ms,   # wall of the shared single-pass job
             })
-            processed.append(b)
-        return processed
+        return pending
 
     def read_output(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.out_path).parquet(
-            os.path.join(self.out_path, "bucket=*"))
+        return spark.read.parquet(self.out_path)
