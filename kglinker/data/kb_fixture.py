@@ -107,7 +107,8 @@ KB_ROWS: list[tuple] = [
      "", "", "", "", "https://wiki.example/Prague",
      60, 900, 8),
     (14, "settlement", "Washington", "Washington (city)",
-     "Washington, D.C.", "", "Capital city of the United States of America.",
+     "Washington, D.C.", "",
+     "Washington is the capital city of the United States of America.",
      "", "", "", "", "", "", "United States", "",
      "", "", "", "", "https://wiki.example/Washington_DC",
      5100, 141000, 300),

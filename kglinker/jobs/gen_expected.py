@@ -52,6 +52,28 @@ def build_expected() -> tuple[pd.DataFrame, pd.DataFrame]:
     return mentions, triples_pdf
 
 
+def build_expected_kb() -> dict[str, pd.DataFrame]:
+    """KB-side expected artifacts (engine-backed ⊕ gates): the raw KB
+    fixture as a parquet INPUT both sides read, plus namelist / alias-edge
+    / canonical-map expectations from the plain-python oracles."""
+    from kglinker.data.kb_fixture import KB_COLUMNS, KB_ROWS, kb_rows_as_dicts
+    from kglinker.oracle import oracle_canonical_map
+    from kglinker.oracle_kb import oracle_alias_edges, oracle_namelist
+
+    kb = pd.DataFrame(KB_ROWS, columns=KB_COLUMNS)
+    rows = kb_rows_as_dicts()
+    nl = pd.DataFrame([
+        {"surface": r["surface"],
+         "id_list": ",".join(str(i) for i in r["kb_ids"]),
+         "is_fragment": r["is_fragment"]}
+        for r in oracle_namelist(rows)])
+    edges = pd.DataFrame(oracle_alias_edges(rows))[["src", "dst"]]
+    canon = pd.DataFrame(sorted(oracle_canonical_map(rows).items()),
+                         columns=["kb_id", "canon_id"])
+    return {"kb_fixture": kb, "kb_namelist": nl,
+            "kb_alias_edges": edges, "kb_canonical": canon}
+
+
 def main() -> None:
     out = os.path.abspath(EXPECTED_DIR)
     os.makedirs(out, exist_ok=True)
@@ -60,8 +82,10 @@ def main() -> None:
                         index=False)
     triples.to_parquet(os.path.join(out, "kg_pipeline_triples.parquet"),
                        index=False)
+    for name, df in build_expected_kb().items():
+        df.to_parquet(os.path.join(out, f"{name}.parquet"), index=False)
     print(f"wrote {len(mentions)} mention rows, {len(triples)} triple rows "
-          f"to {out}")
+          f"+ kb artifacts to {out}")
 
 
 if __name__ == "__main__":

@@ -167,16 +167,20 @@ def subnames(name: str) -> list[str]:
     return sorted(out)
 
 
-def settlement_variants(name: str, country: str) -> list[str]:
+def settlement_variants(name: str, country: str, description: str = "") -> list[str]:
     """G6: settlement/watercourse "Name, Country" variants
-    (KB2namelist.py:376-385), with the reference's ``United States→US``
-    abbreviation."""
+    (KB2namelist.py:376-385) — gated: only when the name appears in the
+    row's DESCRIPTION (``if key_inflection in description``,
+    KB2namelist.py:378) and the country is not already part of the name;
+    settlements pair with COUNTRY, watercourses with SOURCE_LOC (the
+    caller passes the right one). ``United States→US`` applied to the
+    combined string per the reference."""
     out: set[str] = set()
     name, country = normalize_ws(name), normalize_ws(country)
-    if name and country:
-        out.add(f"{name}, {country}")
-        if country == "United States":
-            out.add(f"{name}, US")
+    if name and country and name in description and country not in name:
+        combined = f"{name}, {country}"
+        out.add(combined)
+        out.add(combined.replace("United States", "US"))
     out.discard(name)
     return sorted(out)
 

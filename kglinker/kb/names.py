@@ -48,17 +48,21 @@ def _stop_variants() -> set[str]:
 
 
 @F.pandas_udf(_VARIANT_SCHEMA)
-def _gen_variants(name: pd.Series, etype: pd.Series, country: pd.Series) -> pd.Series:
+def _gen_variants(name: pd.Series, etype: pd.Series, country: pd.Series,
+                  source_loc: pd.Series, description: pd.Series) -> pd.Series:
     """G1–G7 variant generation, Arrow-batched (SURVEY §2.10.2)."""
     out = []
-    for n, t, c in zip(name, etype, country):
+    for n, t, c, sl, d in zip(name, etype, country, source_loc, description):
         base = t.split(":")[0] if t else ""
         if base == "person":
             out.append(X.person_variants(n))
         elif base in ("organisation", "event"):
             out.append(X.org_event_variants(n, base))
-        elif base in ("settlement", "watercourse"):
-            out.append(X.settlement_variants(n, c or ""))
+        elif base == "settlement":
+            out.append(X.settlement_variants(n, c or "", d or ""))
+        elif base == "watercourse":
+            # watercourses pair with SOURCE_LOC (KB2namelist.py:380-382)
+            out.append(X.settlement_variants(n, sl or "", d or ""))
         else:
             out.append([])
     return pd.Series(out)
@@ -113,7 +117,9 @@ def build_namelist(kb_scored: DataFrame,
                 .select("kb_id", "type",
                         F.explode(_gen_variants(
                             "name", "type",
-                            F.coalesce("country", F.lit("")))).alias("surface")))
+                            F.coalesce("country", F.lit("")),
+                            F.coalesce("source_loc", F.lit("")),
+                            F.coalesce("description", F.lit("")))).alias("surface")))
 
     direct = (base.select("kb_id", "type", "surface")
               .unionByName(variants)

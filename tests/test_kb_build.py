@@ -127,8 +127,17 @@ def test_saint_variants():
 
 
 def test_settlement_country_variant():
-    assert X.settlement_variants("Washington", "United States") == [
+    desc = "Washington is the capital city of the United States of America."
+    assert X.settlement_variants("Washington", "United States", desc) == [
         "Washington, US", "Washington, United States"]
+    # G6 DESCRIPTION gate (KB2namelist.py:378): name absent from the
+    # description → NO variant
+    assert X.settlement_variants("Washington", "United States",
+                                 "Capital of the USA.") == []
+    # country already inside the name → NO variant
+    assert X.settlement_variants("Washington, United States",
+                                 "United States",
+                                 "Washington, United States is big.") == []
 
 
 def test_czech_inflection_stub():

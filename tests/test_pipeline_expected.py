@@ -22,3 +22,12 @@ def test_committed_expected_parquet_up_to_date(spark):
     pd.testing.assert_frame_equal(
         triples.reset_index(drop=True), got_t, check_dtype=False)
     assert len(got_m) > 1000 and len(got_t) > 1000
+
+
+def test_committed_kb_artifacts_up_to_date():
+    from kglinker.jobs.gen_expected import build_expected_kb
+    out = os.path.abspath(EXPECTED_DIR)
+    for name, df in build_expected_kb().items():
+        got = pd.read_parquet(os.path.join(out, f"{name}.parquet"))
+        pd.testing.assert_frame_equal(
+            df.reset_index(drop=True), got, check_dtype=False)
