@@ -83,24 +83,97 @@ class MentionRow:
 _CAP_RUN = re.compile(
     r"(?<![\w'])[A-ZÁČĎÉĚÍŇÓŘŠŤÚŮÝŽ][\w']+(?: [A-ZÁČĎÉĚÍŇÓŘŠŤÚŮÝŽ][\w']+)+")
 
+_NAME_TOLERANCE = 15   # process_outputs.py:470-525 self.tolerance
 
-def _find_unknown_names(text: str, taken: list[tuple[int, int]],
-                        name_registry: dict[str, int]) -> list[tuple[int, int, str, int]]:
-    """D10 (optional `-n` mode): heuristic capitalized-run scanner
-    (``name_recognizer/process_outputs.py:287-344`` find_full_names) for
-    person-like names absent from the KB. Runs overlapping known mentions
-    are absorbed (ner_cz.py:1307-1330); new names get negative synthetic
-    sense ids, stable per conversation (ner_cz.py:1295-1305)."""
-    out = []
-    for m in _CAP_RUN.finditer(text):
-        s, e = m.span()
-        if any(not (e <= ts or s >= te) for ts, te in taken):
+
+def _extend_name(text: str, ks: int, ke: int, ksurf: str) -> tuple[int, int, str] | None:
+    """D10 find_incomplete_names (process_outputs.py:470-525): extend a
+    known name through following capitalized words / initials within a
+    character tolerance window. Returns (start, end, name) or None."""
+    n = len(text)
+    if ke + 1 >= n or text[ke] != " " or not text[ke + 1].isupper():
+        return None
+    word = ksurf
+    word_start = False
+    pos = ke
+    tolerance = ke + 1 + _NAME_TOLERANCE
+    while pos < n:
+        char = text[pos]
+        if char == "\n":
+            break
+        if not (char.isalpha() or char.isspace() or char in ("'", ".")):
+            break
+        if not (pos < tolerance or char != " "):
+            break   # a new word may not start beyond the tolerance window
+        if word_start and not char.isupper():
+            break   # the next word must be capitalized
+        word_start = False
+        if char == " ":
+            word_start = True
+        if char == ".":
+            # only initials may carry a dot ("Aaaa A.A.")
+            if not (len(word) >= 2 and (word[-2] in (" ", "."))
+                    and word[-1].isupper()):
+                break
+        word += char
+        pos += 1
+    # repeated-word cut (process_outputs.py:512-519)
+    words = [w for w in word.strip().split(" ") if w]
+    name: list[str] = []
+    for w in words:
+        if w in name:
+            break
+        name.append(w)
+    nm = " ".join(name)
+    if len(nm) <= len(ksurf):
+        return None
+    return (ks, ks + len(nm), nm)
+
+
+def _candidate_names(text: str,
+                     known_spans: list[tuple[int, int, str]]) -> list[tuple[int, int, str]]:
+    """D10 candidate construction: capitalized-run scan (find_full_names,
+    process_outputs.py:287-344) + tolerance-window extension of known
+    mentions, then solve_conflicts overlap merge (:527-563), possessive
+    strip (:589-598), single-word drop (:600-610) and parts-subset
+    substring removal (:199-220)."""
+    cands = [(m.start(), m.end(), m.group(0)) for m in _CAP_RUN.finditer(text)]
+    for ks, ke, ksurf in known_spans:
+        ext = _extend_name(text, ks, ke, ksurf)
+        if ext is not None:
+            cands.append(ext)
+    cands.sort()
+    # solve_conflicts: merge overlapping candidates, unioning word parts
+    merged: list[list] = []
+    for s, e, v in cands:
+        if merged and s < merged[-1][1]:
+            s0, _e0, v0 = merged[-1]
+            parts = v0.split(" ")
+            for p in v.split(" "):
+                if p not in parts:
+                    parts.append(p)
+            nv = " ".join(parts)
+            merged[-1] = [s0, s0 + len(nv), nv]
+        else:
+            merged.append([s, e, v])
+    out: list[tuple[int, int, str]] = []
+    for s, e, v in merged:
+        if len(v) > 2 and v.endswith("'s"):   # remove_posessions
+            v, e = v[:-2], e - 2
+        if len(v.split(" ")) <= 1:            # remove_single_names
             continue
-        surface = m.group(0)
-        if surface not in name_registry:
-            name_registry[surface] = -(len(name_registry) + 1)
-        out.append((s, e, surface, name_registry[surface]))
-    return out
+        out.append((s, e, v))
+    # mark_substrings: drop names whose parts all occur in a longer name
+    keep = []
+    for i, (s, e, v) in enumerate(out):
+        parts = v.split(" ")
+        shadowed = any(
+            len(ov.split(" ")) > len(parts)
+            and all(p in ov.split(" ") for p in parts)
+            for j, (_os, _oe, ov) in enumerate(out) if j != i)
+        if not shadowed:
+            keep.append((s, e, v))
+    return keep
 
 
 def _norm_nat(surface: str) -> str:
@@ -296,12 +369,38 @@ def annotate_conversation(conv_id: str,
         spans = [(m.start, m.end) for m in matches]
         dates = [d for d in find_dates(st)
                  if not any(not (d.end <= s or d.start >= e) for s, e in spans)]
+
+        # D10: candidate unknown names + overlap resolution vs KB mentions
+        # (ner_cz.py:1307-1330): equal-or-contained-in-entity → name
+        # dropped; name strictly containing an entity → the entity is
+        # ABSORBED into the name (senses inherited, entity row suppressed)
+        names: list[tuple[int, int, str, tuple[int, ...]]] = []
+        absorbed_ids: set[int] = set()
+        if detect_unknown_names:
+            known = [(m.start, m.end, m.surface) for m, _c in kb_cands]
+            for s, e, v in _candidate_names(st, known):
+                drop = False
+                absorbs: list[int] = []
+                for idx, (m, _cand) in enumerate(kb_cands):
+                    if ((s, e) == (m.start, m.end)
+                            or (m.start <= s and m.end >= e
+                                and (m.end - m.start) > (e - s))):
+                        drop = True
+                        break
+                    if (s <= m.start and e >= m.end
+                            and (e - s) > (m.end - m.start)):
+                        absorbs.append(idx)
+                if not drop:
+                    names.append((s, e, v, tuple(absorbs)))
+            absorbed_ids = {i for nm in names for i in nm[3]}
         scanned.append((turn_idx, st, kb_cands, fragments, pronouns, dates,
-                        turn_nats))
+                        turn_nats, names, absorbed_ids))
 
     # ---- phase B: document-level context from unambiguous mentions ----------
+    # (the reference builds Context before add_unknown_names removes
+    # absorbed entities, so absorbed mentions still count here)
     ctx = _ConvContext()
-    for turn_idx, st, kb_cands, _f, _p, dates, turn_nats in scanned:
+    for turn_idx, st, kb_cands, _f, _p, dates, turn_nats, _n, _a in scanned:
         ctx.add_turn(turn_idx, st, kb_cands, dates, turn_nats, meta)
 
     # ---- phase C: sequential disambiguation + coreference -------------------
@@ -311,27 +410,54 @@ def annotate_conversation(conv_id: str,
     poor_mentions: list[tuple[int, tuple[int, ...]]] = []  # (out idx, senses) for D6
     name_registry: dict[str, int] = {}     # D10 surface → negative synthetic id
 
-    for turn_idx, st, kb_cands, fragments, pronouns, dates, _nats in scanned:
+    for turn_idx, st, kb_cands, fragments, pronouns, dates, _nats, names, \
+            absorbed_ids in scanned:
         events: list[tuple[int, str, object]] = []
-        events += [(m.start, "kb", (m, cand)) for m, cand in kb_cands]
+        events += [(m.start, "kb", (m, cand))
+                   for i, (m, cand) in enumerate(kb_cands)
+                   if i not in absorbed_ids]
         events += [(m.start, "frag", m) for m in fragments]
         events += [(m.start, "pron", m) for m in pronouns]
         events += [(d.start, "date", d) for d in dates]
-        if detect_unknown_names:
-            taken = ([(m.start, m.end) for m, _ in kb_cands]
-                     + [(m.start, m.end) for m in fragments]
-                     + [(m.start, m.end) for m in pronouns]
-                     + [(d.start, d.end) for d in dates])
-            events += [(s, "name", (s, e, surf, nid))
-                       for s, e, surf, nid in
-                       _find_unknown_names(st, taken, name_registry)]
+        events += [(s, "name", (s, e, v, absorbs))
+                   for s, e, v, absorbs in names]
         events.sort(key=lambda e: e[0])
+
+        def _choose_and_update(m, cand):
+            """Disambiguate one kb match and apply the D5/D7/D8 state
+            updates; returns the chosen sense and the poor flag."""
+            if len(cand) == 1:
+                chosen, poor = cand[0], False
+            else:
+                chosen, poor = _disambiguate(cand, meta, ctx, turn_idx)
+            info = meta[chosen]
+            if info["type"].startswith("person"):
+                if len(cand) > 1:
+                    ctx.add_chosen_person(info["name"])   # D5 feedback
+                person_mentions.append((turn_idx, m.start, chosen, m.surface))
+                if info["gender"]:
+                    last_person_by_gender[info["gender"]] = chosen
+            return chosen, poor
 
         for start, kind, obj in events:
             if kind == "name":
-                s, e_, surf, nid = obj
+                s, e_, surf, absorbs = obj
+                # absorbed entities run the full disambiguation/state
+                # machinery (the reference removes them from the output
+                # AFTER disambiguation, ner_cz.py:1326-1330); the name
+                # inherits the first absorbed sense, else a stable
+                # negative synthetic id per surface (ner_cz.py:1295-1305)
+                chosen_id = None
+                for idx in absorbs:
+                    ch, _poor = _choose_and_update(*kb_cands[idx])
+                    if chosen_id is None:
+                        chosen_id = ch
+                if chosen_id is None:
+                    if surf not in name_registry:
+                        name_registry[surf] = -(len(name_registry) + 1)
+                    chosen_id = name_registry[surf]
                 out.append(MentionRow(conv_id, turn_idx, s, e_, "name",
-                                      surf, nid, str(nid)))
+                                      surf, chosen_id, str(chosen_id)))
                 continue
             if kind == "date":
                 out.append(MentionRow(conv_id, turn_idx, obj.start, obj.end,
@@ -340,23 +466,11 @@ def annotate_conversation(conv_id: str,
                 continue
             if kind == "kb":
                 m, cand = obj
-                if len(cand) == 1:
-                    chosen, poor = cand[0], False
-                else:
-                    chosen, poor = _disambiguate(cand, meta, ctx, turn_idx)
-                row = MentionRow(conv_id, turn_idx, m.start, m.end, "kb",
-                                 m.surface, chosen, str(chosen))
-                out.append(row)
-                if poor:
+                chosen, poor = _choose_and_update(m, cand)
+                out.append(MentionRow(conv_id, turn_idx, m.start, m.end, "kb",
+                                      m.surface, chosen, str(chosen)))
+                if poor and len(cand) > 1:
                     poor_mentions.append((len(out) - 1, tuple(cand)))
-                info = meta[chosen]
-                if info["type"].startswith("person"):
-                    if len(cand) > 1:
-                        # D5 feedback: ner_cz.py:402-408
-                        ctx.add_chosen_person(info["name"])
-                    person_mentions.append((turn_idx, m.start, chosen, m.surface))
-                    if info["gender"]:
-                        last_person_by_gender[info["gender"]] = chosen
                 continue
             if kind == "frag":
                 m = obj

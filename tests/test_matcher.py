@@ -145,3 +145,42 @@ def test_case_insensitive_lowercase_automaton():
     # default case-sensitive path unchanged
     rows2 = annotate_conversation("c", [(0, "we saw PRAHA .")], art)
     assert rows2 == []
+
+
+def test_d10_extension_absorbs_known_entity(artifacts):
+    # find_incomplete_names (process_outputs.py:470-525): a known person
+    # followed by a capitalized unknown word within the tolerance window
+    # extends into ONE name mention that absorbs the entity and inherits
+    # its sense (ner_cz.py:1326-1330)
+    rows = annotate_conversation(
+        "c0", [(0, "Jan Novák Wonderland spoke .")], artifacts,
+        detect_unknown_names=True)
+    names = [r for r in rows if r.mention_type == "name"]
+    kbs = [r for r in rows if r.mention_type == "kb"]
+    assert [(n.surface, n.kb_id) for n in names] == [("Jan Novák Wonderland", 6)]
+    assert not any(k.surface == "Jan Novák" for k in kbs)
+
+
+def test_d10_possessive_strip(artifacts):
+    rows = annotate_conversation(
+        "c0", [(0, "we read Alice Wonderland's book .")], artifacts,
+        detect_unknown_names=True)
+    names = [r for r in rows if r.mention_type == "name"]
+    assert [n.surface for n in names] == ["Alice Wonderland"]
+
+
+def test_d10_single_word_dropped(artifacts):
+    rows = annotate_conversation(
+        "c0", [(0, "then Wondera appeared suddenly .")], artifacts,
+        detect_unknown_names=True)
+    assert [r for r in rows if r.mention_type == "name"] == []
+
+
+def test_d10_substring_names_removed(artifacts):
+    # mark_substrings (process_outputs.py:199-220): a name whose word
+    # parts all occur in a longer detected name is dropped
+    rows = annotate_conversation(
+        "c0", [(0, "Alice Bella Corn met people and Alice Bella waited .")],
+        artifacts, detect_unknown_names=True)
+    names = [r.surface for r in rows if r.mention_type == "name"]
+    assert names == ["Alice Bella Corn"]
