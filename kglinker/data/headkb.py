@@ -1,0 +1,170 @@
+"""S2: HEAD-KB schema parser + TSV KB loader (SURVEY §2.1).
+
+Port-of-semantics of ``/root/reference/metrics_knowledge_base.py:45-103``
+(``getDictHeadKB``): a HEAD-KB file holds one tab-separated header line per
+entity type; the first column is ``<type>{FLAGS[PREFIX]}NAME``, the rest
+``{FLAGS[PREFIX]}NAME``. The parser yields per-type column layouts, the
+per-column FLAGS/PREFIX metadata, and the (single, consistent) TYPE column
+index — the reference raises when TYPE moves between types, and so do we.
+
+The loader turns a heterogeneous HEAD-KB + TSV pair into ONE unified
+DataFrame: the union of all per-type column names (normalized to
+snake_case), each row's cells mapped through its own type's layout, with
+stable 1-based ``kb_id`` = TSV line number
+(``metrics_knowledge_base.py:191-197``). ``MULTIPLE VALUES`` flagged
+columns keep the ``|`` delimiter (``KB_MULTIVALUE_DELIM``); wiki-metric
+columns are cast to long so the result feeds :func:`kglinker.kb.scoring.
+score_kb` / :func:`kglinker.kb.names.build_namelist` directly.
+
+Scale: the KB is the engine's small side; the TSV is parsed with a
+DataFrame line-read + split (JVM-side), the line number via
+``zipWithIndex`` on a single-pass RDD (deterministic file order).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["HeadKB", "parse_head_kb", "load_kb_tsv", "normalize_col"]
+
+_PARSER_FIRST = re.compile(r"""(?ux)
+    ^
+    <(?P<TYPE>[^>]+)>
+    (?:\{(?P<FLAGS>(?:\w|[ ])*)(?:\[(?P<PREFIX>[^\]]+)\])?\})?
+    (?P<NAME>(?:\w|[ ])+)
+    $
+""")
+_PARSER_OTHER = re.compile(r"""(?ux)
+    ^
+    (?:\{(?P<FLAGS>(?:\w|[ ])*)(?:\[(?P<PREFIX>[^\]]+)\])?\})?
+    (?P<NAME>(?:\w|[ ])+)
+    $
+""")
+
+
+@dataclass(frozen=True)
+class HeadCol:
+    name: str           # raw HEAD-KB column name, e.g. "DATE OF BIRTH"
+    index: int          # 0-based column position within the type's row
+    flags: tuple[str, ...]
+    prefix: str
+
+
+@dataclass
+class HeadKB:
+    types: dict[str, list[HeadCol]]   # type → ordered column layout
+    type_col: int                     # the (consistent) TYPE column index
+
+    def arity(self, etype: str) -> int:
+        return len(self.types[etype])
+
+    def unified_columns(self) -> list[str]:
+        """Normalized union of all column names, first-appearance order."""
+        out: list[str] = []
+        for cols in self.types.values():
+            for c in cols:
+                n = normalize_col(c.name)
+                if n not in out:
+                    out.append(n)
+        return out
+
+    def multi_valued(self) -> set[str]:
+        return {normalize_col(c.name) for cols in self.types.values()
+                for c in cols if "MULTIPLE VALUES" in " ".join(c.flags)}
+
+
+def normalize_col(name: str) -> str:
+    return name.strip().lower().replace(" ", "_")
+
+
+def parse_head_kb(text: str) -> HeadKB:
+    """HEAD-KB text → per-type layouts + TYPE column index
+    (getDictHeadKB, metrics_knowledge_base.py:45-103)."""
+    types: dict[str, list[HeadCol]] = {}
+    type_col: int | None = None
+    for line in text.splitlines():
+        if not line:
+            continue
+        cells = line.split("\t")
+        m0 = _PARSER_FIRST.search(cells[0])
+        if m0 is None:
+            raise ValueError(f"bad HEAD-KB first column: {cells[0]!r}")
+        etype = m0.group("TYPE")
+        if etype in types:
+            raise ValueError(f"duplicate HEAD-KB type {etype!r}")
+        cols: list[HeadCol] = []
+        seen: set[str] = set()
+        for i, cell in enumerate(cells):
+            m = m0 if i == 0 else _PARSER_OTHER.search(cell)
+            if m is None:
+                raise ValueError(f"bad HEAD-KB column {cell!r} in {etype!r}")
+            name = m.group("NAME")
+            if name in seen:   # reference RuntimeError on duplicates
+                raise ValueError(f"column {name!r} repeated for {etype!r}")
+            seen.add(name)
+            flags = tuple(f for f in (m.group("FLAGS") or "").split() if f)
+            cols.append(HeadCol(name, i, flags, m.group("PREFIX") or ""))
+            if name == "TYPE":
+                if type_col is None:
+                    type_col = i
+                elif type_col != i:
+                    # reference: TYPE must sit at the same index everywhere
+                    raise ValueError("TYPE column index differs between types")
+        types[etype] = cols
+    if type_col is None:
+        raise ValueError("HEAD-KB defines no TYPE column")
+    return HeadKB(types, type_col)
+
+
+_WIKI_LONG = {"wiki_backlinks", "wiki_hits", "wiki_ps"}
+
+
+def load_kb_tsv(spark: SparkSession, head_text: str, tsv_path: str,
+                strict: bool = True) -> DataFrame:
+    """HEAD-KB + TSV → unified KB DataFrame with 1-based ``kb_id``.
+
+    Rows whose type is unknown or whose cell count differs from the
+    type's HEAD-KB arity are rejected (``strict=True`` raises, matching
+    check_columns_in_kb.py:42-53; ``strict=False`` drops them)."""
+    head = parse_head_kb(head_text)
+    unified = head.unified_columns()
+    # per-type mapping: unified column name → source index (or None)
+    mapping = {
+        etype: {normalize_col(c.name): c.index for c in cols}
+        for etype, cols in head.types.items()}
+    arities = {etype: len(cols) for etype, cols in head.types.items()}
+    type_col = head.type_col
+
+    lines = spark.sparkContext.textFile(tsv_path)
+
+    def to_row(pair):
+        line, idx = pair
+        cells = line.rstrip("\n").split("\t")
+        etype_full = cells[type_col] if type_col < len(cells) else ""
+        etype = etype_full.split(":")[0]
+        if etype not in mapping or len(cells) != arities[etype]:
+            return (int(idx) + 1, None, cells)   # arity violation
+        colmap = mapping[etype]
+        vals = [cells[colmap[u]] if u in colmap else "" for u in unified]
+        return (int(idx) + 1, vals, None)
+
+    parsed = lines.zipWithIndex().map(to_row)
+    bad = parsed.filter(lambda r: r[1] is None)
+    if strict:
+        offending = bad.take(1)
+        if offending:
+            raise ValueError(
+                f"KB row {offending[0][0]} violates HEAD-KB arity/type: "
+                f"{offending[0][2][:3]}...")
+    rows = parsed.filter(lambda r: r[1] is not None) \
+                 .map(lambda r: tuple([r[0]] + r[1]))
+    schema = "kb_id long, " + ", ".join(f"`{c}` string" for c in unified)
+    df = spark.createDataFrame(rows, schema)
+    for c in _WIKI_LONG & set(unified):
+        df = df.withColumn(
+            c, F.when(F.col(c) == "", None).otherwise(F.col(c)).cast("long"))
+    return df

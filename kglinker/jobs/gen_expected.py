@@ -60,6 +60,8 @@ def build_expected_kb() -> dict[str, pd.DataFrame]:
     from kglinker.oracle import oracle_canonical_map
     from kglinker.oracle_kb import oracle_alias_edges, oracle_namelist
 
+    from kglinker.oracle_kb import oracle_merged_entities
+
     kb = pd.DataFrame(KB_ROWS, columns=KB_COLUMNS)
     rows = kb_rows_as_dicts()
     nl = pd.DataFrame([
@@ -68,10 +70,12 @@ def build_expected_kb() -> dict[str, pd.DataFrame]:
          "is_fragment": r["is_fragment"]}
         for r in oracle_namelist(rows)])
     edges = pd.DataFrame(oracle_alias_edges(rows))[["src", "dst"]]
-    canon = pd.DataFrame(sorted(oracle_canonical_map(rows).items()),
-                         columns=["kb_id", "canon_id"])
+    cmap = oracle_canonical_map(rows)
+    canon = pd.DataFrame(sorted(cmap.items()), columns=["kb_id", "canon_id"])
+    merged = pd.DataFrame(oracle_merged_entities(rows, cmap))
     return {"kb_fixture": kb, "kb_namelist": nl,
-            "kb_alias_edges": edges, "kb_canonical": canon}
+            "kb_alias_edges": edges, "kb_canonical": canon,
+            "kb_merged_entities": merged}
 
 
 def main() -> None:

@@ -23,7 +23,42 @@ from kglinker.data.wordlists import (ALLOWLIST, NATIONALITIES, PRONOUNS,
 from kglinker.kb import expand as X
 from kglinker.oracle_matcher import oracle_confidence
 
-__all__ = ["oracle_namelist", "oracle_subnames", "oracle_alias_edges"]
+__all__ = ["oracle_namelist", "oracle_subnames", "oracle_alias_edges",
+           "oracle_merged_entities"]
+
+_MULTI = ("aliases", "redirects", "jobs", "nationality")
+
+
+def oracle_merged_entities(kb_rows: list[dict],
+                           canon: dict[int, int]) -> list[dict]:
+    """K4 per-field attribute merge — mirrors merged_entity_table."""
+    groups: dict[int, list[dict]] = {}
+    for r in kb_rows:
+        eid = canon.get(int(r["kb_id"]), int(r["kb_id"]))
+        groups.setdefault(eid, []).append(r)
+    cols = [c for c in kb_rows[0] if c != "kb_id"]
+    out = []
+    for eid in sorted(groups):
+        members = sorted(groups[eid], key=lambda r: int(r["kb_id"]))
+        row: dict = {"entity_id": eid}
+        for c in cols:
+            if c in _MULTI:
+                vals: list[str] = []
+                for m in members:
+                    for v in str(m.get(c) or "").split("|"):
+                        if v and v not in vals:
+                            vals.append(v)
+                row[c] = "|".join(vals)
+            elif isinstance(members[0].get(c), str) or members[0].get(c) is None:
+                row[c] = next((m[c] for m in members
+                               if m.get(c) not in (None, "")),
+                              members[0].get(c))
+            else:
+                row[c] = next((m[c] for m in members if m.get(c) is not None),
+                              members[0].get(c))
+        row["n_members"] = len(members)
+        out.append(row)
+    return out
 
 
 def _stop_variants() -> set[str]:
