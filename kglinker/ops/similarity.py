@@ -103,14 +103,8 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], planes: list[list[float]],
             .select("query_id", "vec_id", "cos_sim"))
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
-    """(vec_id, v, cent_id): IVF coarse quantization with deterministic
-    centroids (the first ``n_centroids`` vectors by vec_id — no RNG, no
-    iteration; a k-means refinement would slot in here unchanged).
-    Assignment = argmax centroid cosine (fround ties → cent_id asc)."""
-    e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    cents = (e.filter(F.col("vec_id") < n_centroids)
-             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """argmax-centroid-cosine assignment (fround ties → cent_id asc)."""
     sim = fround(_dot("v", "cv") / (_norm("v") * _norm("cv")), 4)
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     return (e.crossJoin(F.broadcast(cents))
@@ -120,12 +114,47 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
             .select("vec_id", "v", "cent_id"))
 
 
+def ivf_assign(emb: DataFrame, n_centroids: int = 8,
+               kmeans_iters: int = 2) -> DataFrame:
+    """(vec_id, v, cent_id): IVF coarse quantization.
+
+    Seeds = the first ``n_centroids`` vectors by vec_id (deterministic, no
+    RNG), refined by ``kmeans_iters`` Lloyd iterations: assign → new
+    centroid = per-dimension mean of the cluster, ROUNDED to 6 dp. The
+    rounding is deliberate — it makes the refinement reproducible
+    bit-for-bit across engines (the DuckDB oracle replays the same
+    iterations), at a precision far below any quantization effect.
+
+    Scale: each iteration is one broadcast-assign pass over the corpus +
+    one (cent_id, dim)-keyed aggregation whose state is n_centroids × dim
+    doubles — the classic distributed Lloyd step. Empty clusters keep
+    their previous centroid."""
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents = (e.filter(F.col("vec_id") < n_centroids)
+             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+    for _ in range(kmeans_iters):
+        assigned = _assign(e, cents)
+        means = (assigned
+                 .select("cent_id", F.posexplode("v").alias("dim", "val"))
+                 .groupBy("cent_id", "dim")
+                 .agg(fround(F.avg("val"), 6).alias("mv"))
+                 .groupBy("cent_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                     lambda s: s["mv"]).alias("cv")))
+        # empty clusters fall back to their previous centroid
+        cents = (cents.select("cent_id", F.col("cv").alias("_old"))
+                 .join(means, "cent_id", "left")
+                 .select("cent_id", F.coalesce("cv", "_old").alias("cv")))
+    return _assign(e, cents)
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
-             n_centroids: int = 8) -> DataFrame:
+             n_centroids: int = 8, kmeans_iters: int = 2) -> DataFrame:
     """IVF ANN: each query probes only its own centroid's inverted list —
     the corpus-scale path where the cross join is replaced by a bucket
     equijoin (recall < 1 by design, like any single-probe IVF)."""
-    assign = ivf_assign(emb, n_centroids)
+    assign = ivf_assign(emb, n_centroids, kmeans_iters)
     q = (assign.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("cent_id").alias("qc"), F.col("v").alias("qv")))
@@ -139,9 +168,33 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
             .select("query_id", "vec_id", "cos_sim"))
 
 
+def lsh_neardup_pairs(emb: DataFrame, planes: list[list[float]],
+                      threshold: float = 0.95) -> DataFrame:
+    """Embedding near-dup pairs — the REGISTERED scale path: candidates
+    come from a sign-random-projection bucket self-join (linear in corpus
+    size, never all-pairs; a label-blocked all-pairs comparison would make
+    a single popular label the whole corpus at 100 TB). Blocked-exact
+    (:func:`cosine_pairs_same_label`) remains as the verification stage.
+    Returns (vec_a, vec_b, cos_sim ≥ threshold), vec_a < vec_b."""
+    b = lsh_buckets(emb, planes)
+    a, c = b.alias("a"), b.alias("b")
+    sim = fround(
+        F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v)
+        / (F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, v: acc + v * v))
+           * F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, v: acc + v * v))), 4)
+    return (a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .withColumn("cos_sim", sim)
+            .filter(F.col("cos_sim") >= threshold)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"), "cos_sim"))
+
+
 def cosine_pairs_same_label(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding near-dup pairs within a label block (blocking keeps the
-    self-join bounded; unblocked path = LSH buckets)."""
+    """Embedding near-dup pairs within a label block — kept as the exact
+    VERIFICATION stage over candidate blocks; the registered scale path
+    is :func:`lsh_neardup_pairs` (bucketed candidates)."""
     e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
     a, b = e.alias("a"), e.alias("b")
     sim = fround(
