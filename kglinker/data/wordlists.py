@@ -39,3 +39,43 @@ CZECH_MONTHS = {
     "října": 10, "říjen": 10, "listopadu": 11, "listopad": 11,
     "prosince": 12, "prosinec": 12,
 }
+
+# G8 Czech morphological inflection fixture corpus (SURVEY §7.5): the real
+# generator is the reference's 815-LoC grammar system
+# (figa/make_automat/czechnames/namegen.py, invoked create_cedar.sh:136-142);
+# until it is ported, the namelist build consumes this hand-checked corpus
+# of oblique-case forms (genitive/dative/accusative/locative/instrumental)
+# for the fixture persons. Extend per KB snapshot.
+CZECH_INFLECTIONS: dict[str, list[str]] = {
+    "Jan Novák": [
+        "Jana Nováka", "Janu Novákovi", "Janovi Novákovi", "Janem Novákem",
+    ],
+    "Petr Novák": [
+        "Petra Nováka", "Petru Novákovi", "Petrovi Novákovi",
+        "Petrem Novákem",
+    ],
+    "Tomáš Garrigue Masaryk": [
+        "Tomáše Garrigua Masaryka", "Tomáši Garriguovi Masarykovi",
+        "Tomášem Garriguem Masarykem",
+    ],
+    "Josef Švejk": [
+        "Josefa Švejka", "Josefu Švejkovi", "Josefem Švejkem",
+    ],
+    "Marie Curie": [
+        "Marii Curie", "Marií Curie",
+    ],
+    "Ludwig van Beethoven": [
+        "Ludwiga van Beethovena", "Ludwigu van Beethovenovi",
+        "Ludwigem van Beethovenem",
+    ],
+    "George Washington": [
+        "George Washingtona", "Georgi Washingtonovi", "Georgem Washingtonem",
+    ],
+    "Johann Gottfried Bernhard Bach": [
+        "Johanna Gottfrieda Bernharda Bacha",
+        "Johannem Gottfriedem Bernhardem Bachem",
+    ],
+    "Flannery O'Connor": [
+        "Flannery O'Connorová", "Flannery O'Connorové",
+    ],
+}

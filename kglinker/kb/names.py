@@ -74,6 +74,23 @@ def _gen_subnames(name: pd.Series) -> pd.Series:
     return pd.Series([X.subnames(n) for n in name])
 
 
+@F.pandas_udf(_VARIANT_SCHEMA)
+def _gen_inflections(name: pd.Series) -> pd.Series:
+    """G8: Czech oblique-case forms from the fixture corpus, each treated
+    as an additional key_inflection — the reference runs the full variant
+    generation per inflected form (KB2namelist.py main loop)."""
+    from kglinker.data.wordlists import CZECH_INFLECTIONS
+    out = []
+    for n in name:
+        forms = X.czech_inflections(n, CZECH_INFLECTIONS)
+        acc: set[str] = set()
+        for f in forms:
+            acc.add(f)
+            acc.update(X.person_variants(f))
+        out.append(sorted(acc))
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.BooleanType())
 def _unsuitable(surface: pd.Series, etype: pd.Series) -> pd.Series:
     """P2 filter (KB2namelist.py:210-250) with allow-list bypass."""
@@ -121,15 +138,23 @@ def build_namelist(kb_scored: DataFrame,
                             F.coalesce("source_loc", F.lit("")),
                             F.coalesce("description", F.lit("")))).alias("surface")))
 
+    # G8 Czech inflections (fixture-backed) for persons — wired into the
+    # build path since r2 (the reference's create_cedar.sh:136-142 runs
+    # namegen in its default dictionary build)
+    persons = kb_scored.filter(F.col("type").startswith("person"))
+    inflected = (persons
+                 .select("kb_id", "type",
+                         F.explode(_gen_inflections("name")).alias("surface")))
+
     direct = (base.select("kb_id", "type", "surface")
               .unionByName(variants)
+              .unionByName(inflected)
               .filter(~_unsuitable("surface", "type"))
               .withColumn("is_fragment", F.lit(False)))
 
     # G9 subnames → fragment rows (sentinel N, uniq_namelist.py:101-104);
     # kb_id kept null here — fragment→candidate mapping lives in the
     # separate subname map (D7), exactly like the reference's namedict.
-    persons = kb_scored.filter(F.col("type").startswith("person"))
     frag = (persons
             .select(F.explode(_gen_subnames("name")).alias("surface"))
             .withColumn("kb_id", F.lit(None).cast("long"))

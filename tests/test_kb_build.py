@@ -152,3 +152,21 @@ def test_g6_in_namelist(artifacts):
     # settlement variant reaches the automaton (G6 wired through names.py)
     got = artifacts.automaton.get("Washington, United States")
     assert got is not None and 14 in got[0]
+
+
+def test_g8_inflections_in_namelist(artifacts):
+    # G8 fixture corpus wired into the build (create_cedar.sh:136-142):
+    # oblique-case forms reach the automaton with the right sense
+    a = artifacts.automaton
+    got = a.get("Jana Nováka")
+    assert got is not None and 6 in got[0]
+    got2 = a.get("Tomášem Garriguem Masarykem")
+    assert got2 is not None and 1 in got2[0]
+
+
+def test_g8_inflected_mention_links(artifacts):
+    from kglinker.extract.matcher import annotate_conversation
+    rows = annotate_conversation(
+        "c0", [(0, "mluvili jsme o Janu Novákovi a hudbě .")], artifacts)
+    assert [(r.surface, r.kb_id) for r in rows if r.mention_type == "kb"] == [
+        ("Janu Novákovi", 6)]
