@@ -33,8 +33,8 @@ try:  # optional C-accelerated scan path
 except Exception:  # pragma: no cover - not present in this container
     _ahc = None
 
-__all__ = ["Automaton", "Match", "KBArtifacts", "build_artifacts",
-           "broadcast_artifacts"]
+__all__ = ["Automaton", "Match", "KBArtifacts", "SpellIndex",
+           "build_artifacts", "broadcast_artifacts"]
 
 _PAYLOAD = "\0"  # terminal-payload key inside trie nodes (never a text char)
 
@@ -92,6 +92,30 @@ class Automaton:
         # matching the _is_word boundary checks for all scripts in scope
         return [m.start() for m in _TOKEN_RUN.finditer(text)]
 
+    def autocomplete(self, prefix: str, limit: int = 10) -> list[tuple[str, tuple]]:
+        """M5 (figa ``-a``, figa/README:5): dictionary surfaces extending
+        ``prefix``, lexicographic, with their (kb_ids, is_fragment)
+        payloads. Trie walk + bounded DFS; interactive-path helper, not a
+        data-path operator."""
+        node = self._root
+        for ch in prefix:
+            node = node.get(ch)
+            if node is None:
+                return []
+        out: list[tuple[str, tuple]] = []
+
+        def dfs(n: dict, acc: str) -> None:
+            if len(out) >= limit:
+                return
+            payload = n.get(_PAYLOAD)
+            if payload is not None:
+                out.append((prefix + acc, payload))
+            for ch in sorted(k for k in n if k != _PAYLOAD):
+                dfs(n[ch], acc + ch)
+
+        dfs(node, "")
+        return out[:limit]
+
     def find_matches(self, text: str) -> list[Match]:
         """Leftmost-longest non-overlapping dictionary matches (M2+M7)."""
         n = len(text)
@@ -120,6 +144,63 @@ class Automaton:
         return out
 
 
+def _edit1(a: str, b: str) -> bool:
+    """True iff edit distance (ins/del/sub) ≤ 1."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = diff = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+            continue
+        diff += 1
+        if diff > 1:
+            return False
+        if la == lb:
+            i += 1
+        j += 1
+    return diff + (lb - j) <= 1
+
+
+class SpellIndex:
+    """M4 spellcheck (figa ``-s``, ``figa_cedar.tpp:147-345``): edit-
+    distance-1 correction of unmatched words against the single-word
+    dictionary surfaces, via a deletion-neighborhood (SymSpell) index —
+    the hash-index equivalent of figa's fuzzy trie traversal. Built once
+    on the driver next to the automaton and broadcast with it."""
+
+    MIN_LEN = 4   # shorter words correct too aggressively
+
+    def __init__(self, surfaces):
+        self._surfaces = {s for s in surfaces
+                          if " " not in s and len(s) >= self.MIN_LEN}
+        self._index: dict[str, set[str]] = {}
+        for s in self._surfaces:
+            for d in self._deletes(s):
+                self._index.setdefault(d, set()).add(s)
+
+    @staticmethod
+    def _deletes(s: str) -> set[str]:
+        return {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    def lookup(self, token: str) -> list[str]:
+        """Dictionary surfaces within edit distance 1 of ``token``
+        (exact token excluded — it is not a correction), sorted."""
+        if len(token) < self.MIN_LEN:
+            return []
+        cands = set(self._index.get(token, ()))      # surface = token+1 char
+        for d in self._deletes(token):
+            if d in self._surfaces:
+                cands.add(d)                          # token = surface+1 char
+            cands.update(self._index.get(d, ()))      # substitution
+        cands.discard(token)
+        return sorted(c for c in cands if _edit1(c, token))
+
+
 @dataclass
 class KBArtifacts:
     """Everything the per-conversation extraction UDF needs, in one
@@ -138,6 +219,9 @@ class KBArtifacts:
     # P5 `-l` variant (KB2namelist.py:417-421): lowercased-surface automaton
     # for case-insensitive matching; None unless built with lowercase=True
     lower_automaton: "Automaton | None" = None
+    # M4 `-s` variant: edit-distance-1 spell index; None unless built with
+    # spellcheck=True (off in the reference's default path too)
+    spell_index: "SpellIndex | None" = None
 
     def dumps(self) -> bytes:
         return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
@@ -162,7 +246,8 @@ def _lower_entries(entries: dict) -> dict:
 def build_artifacts(kb_scored_rows: list[dict],
                     namelist_rows: list[dict],
                     subname_rows: list[dict],
-                    lowercase: bool = False) -> KBArtifacts:
+                    lowercase: bool = False,
+                    spellcheck: bool = False) -> KBArtifacts:
     """Compile collected DataFrames into the broadcast payload.
 
     ``kb_scored_rows``: dicts with the KB projection columns;
@@ -221,6 +306,7 @@ def build_artifacts(kb_scored_rows: list[dict],
         pronouns_male=pron_m,
         pronouns_female=pron_f,
         lower_automaton=Automaton(_lower_entries(entries)) if lowercase else None,
+        spell_index=SpellIndex(entries) if spellcheck else None,
     )
 
 

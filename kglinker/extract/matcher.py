@@ -57,6 +57,7 @@ MENTIONS_SCHEMA_DDL = (
 )
 
 _SANITIZE = re.compile(r"[;\x00-\x1f]")
+_TOKEN_RUN = re.compile(r"[^\W_]+", re.UNICODE)
 
 
 def _sanitize(text: str) -> str:
@@ -321,15 +322,23 @@ def annotate_conversation(conv_id: str,
                           turns: list[tuple[int, str]],
                           art: KBArtifacts,
                           detect_unknown_names: bool = False,
-                          case_insensitive: bool = False) -> list[MentionRow]:
+                          case_insensitive: bool = False,
+                          spellcheck: bool = False) -> list[MentionRow]:
     """Annotate one conversation. ``turns`` must be (turn_idx, text) sorted
     by turn_idx (the stable ordering invariant).
 
     ``case_insensitive`` uses the P5 lowercase automaton variant
     (requires artifacts built with ``lowercase=True``); offsets stay
-    anchored to the original text, surfaces keep original casing."""
+    anchored to the original text, surfaces keep original casing.
+
+    ``spellcheck`` (M4, figa ``-s``; requires artifacts built with
+    ``spellcheck=True``) corrects unmatched capitalized tokens to a
+    dictionary surface within edit distance 1 — only when the correction
+    is UNIQUE and carries KB senses; the emitted surface/offsets stay
+    anchored to the original (misspelled) token."""
     auto = art.automaton
     use_lower = case_insensitive and art.lower_automaton is not None
+    use_spell = spellcheck and art.spell_index is not None
     meta = art.kb_meta
 
     # ---- phase A: scan every turn (matching is context-free) ----------------
@@ -347,6 +356,28 @@ def annotate_conversation(conv_id: str,
                 matches = auto.find_matches(st)
         else:
             matches = auto.find_matches(st)
+
+        if use_spell:
+            # M4: unmatched capitalized tokens → unique dist-1 dictionary
+            # surface with KB senses becomes a kb match anchored to the
+            # original token (figa -s KB lookup, figa_cedar.tpp:649+)
+            from kglinker.automaton.build import Match
+            covered = [(m.start, m.end) for m in matches]
+            extra = []
+            for tok in _TOKEN_RUN.finditer(st):
+                s, e = tok.span()
+                if any(ts <= s < te for ts, te in covered):
+                    continue
+                w = tok.group(0)
+                if not w[:1].isupper():
+                    continue
+                fixes = [f for f in art.spell_index.lookup(w)
+                         if (auto.get(f) or ((), False))[0]]
+                if len(fixes) == 1:
+                    ids, frag = auto.get(fixes[0])
+                    extra.append(Match(s, e, w, ids, frag))
+            if extra:
+                matches = sorted(matches + extra, key=lambda m: m.start)
 
         kb_cands, pronouns, fragments = [], [], []
         turn_nats: list[str] = []

