@@ -24,6 +24,10 @@ import time
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     n_convs = int(os.environ.get("SCALE_CONVS", "1200000"))
+    # SCALE_CLUSTERED=1 → measure the conversation-clustered fast path
+    # (no conv_id exchange; the layout an Iceberg bucket(conv_id) table
+    # guarantees) instead of the default shuffle path
+    clustered = os.environ.get("SCALE_CLUSTERED", "") == "1"
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 
     from kglinker.data.transcripts import transcripts_df
@@ -48,13 +52,14 @@ def main() -> None:
     extract_mentions(transcripts.limit(2000), art, num_partitions=cpus).count()
 
     t0 = time.time()
-    mentions = extract_mentions(transcripts, art, num_partitions=2 * cpus)
+    mentions = extract_mentions(transcripts, art, num_partitions=2 * cpus,
+                                assume_clustered=clustered)
     n_mentions = mentions.count()
     wall = time.time() - t0
     n_turns = transcripts.count()
 
     print(json.dumps({
-        "level": f"local[{cpus}]",
+        "level": f"local[{cpus}]" + ("/clustered" if clustered else ""),
         "cpus": cpus,
         "n_convs": n_convs,
         "n_turns": n_turns,
