@@ -13,16 +13,33 @@ from kglinker.ops.util import fround
 __all__ = ["STOPWORDS", "LANG_MARKERS", "text_quality", "lang_id",
            "token_counts", "fingerprints", "word_freq_ratio"]
 
-STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+# top English function words (quality-gate stoplist)
+STOPWORDS = [
+    "the", "a", "an", "of", "and", "or", "to", "in", "on", "at", "is",
+    "are", "was", "were", "be", "been", "it", "that", "this", "these",
+    "for", "with", "as", "by", "from", "not", "but", "they", "we", "you",
+    "he", "she", "his", "her", "their", "its", "have", "has", "had",
+    "will", "would", "can", "could", "do", "does", "did", "if", "then",
+]
 
-# n-gram/marker-based language-ID heuristic: marker hit-rate per language,
-# argmax with deterministic tie order (marker lists are the "profile")
+# marker-word language-ID profiles: function words unique-ish per language,
+# argmax of hit counts with deterministic tie order. Still a heuristic
+# profile (a production system plugs fastText/CLD3 behind the same
+# operator shape), but wide enough to separate the six languages on
+# real running text rather than single-sentence toys.
 LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "a", "of"],
-    "de": ["der", "die", "und"],
-    "es": ["el", "la", "que"],
-    "fr": ["le", "la", "et"],
-    "zh": ["的", "了", "是"],
+    "en": ["the", "of", "and", "to", "is", "was", "that", "with", "they",
+           "have", "from", "this", "were", "which", "their"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "sich",
+           "auch", "auf", "eine", "als", "wird", "dem", "den"],
+    "es": ["el", "la", "los", "las", "que", "es", "una", "por", "para",
+           "con", "del", "se", "su", "como", "más"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des", "dans", "pour",
+           "qui", "pas", "sur", "au", "ce", "vous"],
+    "cs": ["je", "se", "na", "že", "byl", "byla", "jsou", "ale", "jako",
+           "tak", "který", "při", "pro", "jeho", "roku"],
+    "zh": ["的", "了", "是", "在", "我", "有", "他", "这", "就", "不",
+           "人", "都", "一个", "上", "也"],
 }
 
 
@@ -73,11 +90,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, alnum_tokens, byte_len): whitespace tokens plus
-    BPE-ish alnum-run count via regexp (the pretokenizer proxy)."""
+    BPE-ish alnum-run count via regexp (the pretokenizer proxy;
+    case-insensitive so uppercase runs count too)."""
     return docs.select(
         "doc_id",
         F.size(_tokens()).cast("int").alias("ws_tokens"),
-        F.regexp_count("text", F.lit("[a-z0-9]+")).cast("int").alias("alnum_tokens"),
+        F.regexp_count("text", F.lit("[a-zA-Z0-9]+")).cast("int")
+         .alias("alnum_tokens"),
         F.octet_length("text").cast("int").alias("byte_len"),
     )
 
