@@ -63,20 +63,39 @@ _DISTRACTORS = [
 _PRON = {"M": ["on", "ho", "mu"], "F": ["ona", "jí"]}
 
 
+# bump when gen_conversation output changes (cache keys, corpus paths)
+GEN_VERSION = 2
+
+_CZ_MONTHS = ["ledna", "února", "března", "dubna", "května", "června",
+              "července", "srpna", "září", "října", "listopadu", "prosince"]
+_EN_MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+              "August", "September", "October", "November", "December"]
+
+
 def _date_str(rng: random.Random) -> str:
-    kind = rng.randrange(4)
+    """A date in one of the reference-recognized shapes (dates.py:256-279),
+    incl. the forms added in r2 (English month names, slash d/m/y,
+    month-name intervals, decades)."""
+    kind = rng.randrange(8)
     y = rng.randrange(1700, 2024)
     m = rng.randrange(1, 13)
     d = rng.randrange(1, 29)
     if kind == 0:
         return f"{d}.{m}.{y}"
     if kind == 1:
-        months = ["ledna", "února", "března", "dubna", "května", "června",
-                  "července", "srpna", "září", "října", "listopadu", "prosince"]
-        return f"{d}. {months[m - 1]} {y}"
+        return f"{d}. {_CZ_MONTHS[m - 1]} {y}"
     if kind == 2:
         return str(y)
-    return f"{y}-{y + rng.randrange(1, 60)}"
+    if kind == 3:
+        return f"{y}-{y + rng.randrange(1, 60)}"
+    if kind == 4:
+        return f"{_EN_MONTHS[m - 1]} {d}, {y}"          # June 6, 2005
+    if kind == 5:
+        return f"{d}/{m}/{y}"                            # 12/11/1694
+    if kind == 6:
+        return (f"{_EN_MONTHS[m - 1]}, {y} - "           # March, 1856 - 1941
+                f"{y + rng.randrange(1, 40)}")
+    return f"{y - y % 10}s"                              # 1690s
 
 
 def gen_conversation(conv_idx: int, seed: int = 42) -> list[dict]:
@@ -113,6 +132,17 @@ def gen_conversation(conv_idx: int, seed: int = 42) -> list[dict]:
             text = f"the {rng.choice(_EVENTS)} took place near {rng.choice(_PLACES)} ."
         elif k == 8:
             text = f"see {rng.choice(_PLACES)} and {rng.choice(_PLACES)} in the map from {_date_str(rng)} ."
+        elif k == 9 and rng.randrange(2) == 0:
+            # G8: inflected Czech mention of a person (oblique case)
+            from kglinker.data.wordlists import CZECH_INFLECTIONS
+            p = rng.choice(_PERSONS)
+            forms = CZECH_INFLECTIONS.get(p[0])
+            if forms:
+                last_person = p
+                text = f"psali jsme o {rng.choice(forms)} a {rng.choice(_PLACES)} ."
+            else:
+                text = f"{p[0]} appeared in the report ."
+                last_person = p
         else:
             p = rng.choice(_PERSONS)
             last_person = p

@@ -42,7 +42,8 @@ def main() -> None:
 
     # materialize the corpus to parquet first so the measured phase reads a
     # real table (scan → shuffle → python), not a generator pipeline
-    corpus = f"/tmp/kgl_scale_corpus_{n_convs}"
+    from kglinker.data.transcripts import GEN_VERSION
+    corpus = f"/tmp/kgl_scale_corpus_{n_convs}_v{GEN_VERSION}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         transcripts_df(spark, n_convs, partitions=64).write.mode(
             "overwrite").parquet(corpus)
