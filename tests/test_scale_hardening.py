@@ -70,3 +70,34 @@ def test_checkpointer_single_job_per_run(spark, tmp_path):
     assert sum(r["n_turns"] for r in recs.values()) == 2000
     for b, rec in recs.items():
         assert rec["n_rows_out"] == per_bucket.get(b, 0)
+
+
+def test_star_cc_equivalent_to_min_label(spark):
+    """large-star/small-star must produce the same components as min-label
+    propagation on a deterministic random-ish graph."""
+    from kglinker.graph.canonicalize import (connected_components,
+                                             connected_components_star)
+    edges = (spark.range(3000)
+             .select((F.xxhash64("id") % 500).alias("src"),
+                     (F.xxhash64(F.col("id") + 1) % 500).alias("dst"))
+             .select(F.abs("src").alias("src"), F.abs("dst").alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    a = {r["node"]: r["comp"]
+         for r in connected_components(edges, num_partitions=8).collect()}
+    b = {r["node"]: r["comp"]
+         for r in connected_components_star(edges, num_partitions=8).collect()}
+    assert a == b and len(a) > 100
+
+
+def test_star_cc_long_path_converges_fast(spark):
+    """A 2000-node path has diameter 2000: min-label would need ~2000
+    rounds (it would NOT converge within its max_iter); the star
+    algorithm collapses it in O(log n) rounds."""
+    from kglinker.graph.canonicalize import connected_components_star
+    path = spark.range(1999).select(F.col("id").alias("src"),
+                                    (F.col("id") + 1).alias("dst"))
+    cc = connected_components_star(path, max_iter=20, num_partitions=8)
+    got = cc.agg(F.countDistinct("comp").alias("c"),
+                 F.count(F.lit(1)).alias("n")).collect()[0]
+    assert got["c"] == 1 and got["n"] == 2000
+    assert {r["comp"] for r in cc.collect()} == {0}
