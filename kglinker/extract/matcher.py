@@ -532,6 +532,8 @@ def annotate_conversation(conv_id: str,
 
 
 _DURING = ("během ", "during ")
+# reference VERBS = {" byl ", " byla ", " je "} (ner_cz.py:56); English
+# copulas added for the bilingual corpus
 _COPULA = re.compile(r"\b(?:byl|byla|je|was|is|were)\b")
 
 
@@ -539,8 +541,9 @@ def _context_free_filter(cand: list[int], meta: dict, text: str,
                          start: int, end: int) -> list[int]:
     """D2 context-free candidate filters (ner_cz.py:279-317):
     - a ``během``/``during`` left context keeps only event senses;
-    - a copula (+ a candidate person's JOBS value) in the trailing
-      sentence keeps only those persons.
+    - a copula in the trailing sentence + a candidate person's JOBS value
+      appearing AFTER the verb (space-padded, ``sentence.find(" "+p+" ",
+      verb_index)``, ner_cz.py:302-317) keeps only those persons.
     Filters only narrow; they never empty the candidate list."""
     left = text[max(0, start - 8):start].lower()
     if any(left.endswith(d) for d in _DURING):
@@ -550,10 +553,13 @@ def _context_free_filter(cand: list[int], meta: dict, text: str,
     rest = text[end:end + 80]
     cut = rest.find(".")
     rest = (rest[:cut] if cut >= 0 else rest).lower()
-    if _COPULA.search(rest):
+    m = _COPULA.search(rest)
+    if m:
+        after_verb = " " + rest[m.end():] + " "
         by_job = [c for c in cand
                   if meta[c]["type"].startswith("person")
-                  and any(j.lower() in rest for j in meta[c]["jobs"])]
+                  and any(f" {j.lower()} " in after_verb
+                          for j in meta[c]["jobs"])]
         if by_job:
             return by_job
     return cand

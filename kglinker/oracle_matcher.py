@@ -231,9 +231,12 @@ class OracleLinker:
         rest = text[e:e + 80]
         dot = rest.find(".")
         rest = (rest[:dot] if dot >= 0 else rest).lower()
-        if _COPULA.search(rest):
+        m = _COPULA.search(rest)
+        if m:
+            after = " " + rest[m.end():] + " "
             jb = [c for c in cand if self.kb[c]["type"].startswith("person")
-                  and any(j.lower() in rest for j in self.kb[c]["jobs"])]
+                  and any(f" {j.lower()} " in after
+                          for j in self.kb[c]["jobs"])]
             if jb:
                 return jb
         return cand
