@@ -2,10 +2,15 @@
 columns with typed metadata.
 
 The Spark-side machinery — schema, partition-preserving ``mapInPandas``
-decode, Arrow batch shape — is real and tested; the actual media decode is
-STUBBED (this container has no image/audio libs): ``decode_media`` either
-raises ``NotImplementedError`` (default) or produces a deterministic fake
-(md5-derived dimensions) so downstream plumbing can be exercised.
+decode, Arrow batch shape — is real and tested. Decode kernels:
+
+- **PPM (P6)** decodes FOR REAL (pure-python header+pixel parser, no
+  external libs): true width/height and an md5 feature hash over the
+  pixel payload.
+- JPEG/PNG/audio/video need PIL/ffmpeg (absent in this container):
+  ``decode_media`` raises ``NotImplementedError`` for those formats
+  (default) or produces a deterministic fake (md5-derived dimensions)
+  with ``fake=True`` so downstream plumbing can be exercised.
 
 At 100 TB: binary payloads dominate row size → keep them in their own
 column family (parquet: large row groups, no dictionary), never shuffle
@@ -24,10 +29,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["attach_blob", "media_metadata", "decode_media", "frame_sample",
+           "synth_ppm",
            "resize_features"]
 
 DECODED_SCHEMA = ("doc_id long, mime string, n_bytes int, width int, "
                   "height int, feature_hash string")
+
+
+def synth_ppm(seed: int, width: int, height: int) -> bytes:
+    """Deterministic P6 PPM image (test/bench data, no RNG)."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    px = bytearray()
+    for i in range(width * height):
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        px += d[:3]
+    return header + bytes(px)
+
+
+def _decode_ppm(b: bytes) -> tuple[int, int, str]:
+    """(width, height, feature_hash) from a binary P6 PPM — pure python.
+    Handles '#' comments and arbitrary whitespace in the header."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":
+            while pos < len(b) and b[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1   # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    pixels = b[pos:pos + 3 * width * height]
+    if len(pixels) != 3 * width * height:
+        raise ValueError("truncated PPM pixel payload")
+    return width, height, hashlib.md5(pixels).hexdigest()
 
 
 def attach_blob(docs: DataFrame) -> DataFrame:
@@ -51,18 +95,33 @@ def media_metadata(docs_with_blob: DataFrame) -> DataFrame:
 def decode_media(docs_with_blob: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched decode / feature-extract over ``mapInPandas``.
 
-    ``fake=False`` raises ``NotImplementedError`` at task time (the decode
-    kernel needs PIL/ffmpeg, absent here). ``fake=True`` emits
-    deterministic md5-derived dimensions + a feature hash, exercising the
-    real batch shape: one pandas batch in → one feature frame out,
-    blob column dropped on output (features only cross the shuffle)."""
+    ``fake=False`` decodes P6 PPM blobs natively (pure python) and raises
+    ``NotImplementedError`` at task time for formats that need PIL/ffmpeg
+    (absent here). ``fake=True`` emits deterministic md5-derived
+    dimensions + a feature hash, exercising the real batch shape: one
+    pandas batch in → one feature frame out, blob column dropped on
+    output (features only cross the shuffle)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "media decode requires PIL/ffmpeg; not available in this "
-                    "container — run with fake=True for plumbing tests")
+                rows = []
+                for doc_id, mime, blob in zip(pdf["doc_id"], pdf["mime"],
+                                              pdf["blob"]):
+                    b = bytes(blob)
+                    if b.startswith(b"P6"):
+                        w, hgt, fh = _decode_ppm(b)
+                        rows.append((int(doc_id), "image/x-portable-pixmap",
+                                     len(b), w, hgt, fh))
+                    else:
+                        raise NotImplementedError(
+                            f"media decode for {mime!r} requires PIL/ffmpeg "
+                            "(absent in this container); PPM decodes "
+                            "natively, or run with fake=True")
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "mime", "n_bytes", "width", "height",
+                    "feature_hash"])
+                continue
             h = [hashlib.md5(bytes(b)).hexdigest() for b in pdf["blob"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
