@@ -214,8 +214,11 @@ def connected_components_star(edges: DataFrame, max_iter: int = 25,
         if new_sig == sig:
             break
         sig = new_sig
-    # fixpoint: every edge is (member, root); roots label themselves
-    members = e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+    # fixpoint: every edge is (member, root); roots label themselves.
+    # min-aggregate as a safety net for a max_iter exhaustion (a true
+    # fixpoint is already a star with one edge per member)
+    members = (e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+               .groupBy("node").agg(F.min("comp").alias("comp")))
     roots = (e.select(F.col("b").alias("node")).distinct()
              .join(e.select(F.col("a").alias("node")).distinct(),
                    "node", "left_anti")
