@@ -144,6 +144,11 @@ class Automaton:
         return out
 
 
+def _strip_acc(s: str) -> str:
+    from kglinker.kb.expand import remove_accent
+    return remove_accent(s)
+
+
 def _edit1(a: str, b: str) -> bool:
     """True iff edit distance (ins/del/sub) ≤ 1."""
     la, lb = len(a), len(b)
@@ -222,24 +227,32 @@ class KBArtifacts:
     # M4 `-s` variant: edit-distance-1 spell index; None unless built with
     # spellcheck=True (off in the reference's default path too)
     spell_index: "SpellIndex | None" = None
+    # P5 `--remove_accent` variant (ner_cz.py:1580-1582): accent-stripped
+    # automaton; unlike the reference (which rewrites the input string) the
+    # scan strips a COPY and keeps offsets anchored to the stored text
+    accent_automaton: "Automaton | None" = None
 
     def dumps(self) -> bytes:
         return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
 
 
-def _lower_entries(entries: dict) -> dict:
-    """Merge payloads under lowercased surfaces (deterministic: surfaces
-    visited in sorted order; candidate order preserved, first wins)."""
+def _transformed_entries(entries: dict, transform) -> dict:
+    """Merge payloads under transformed surfaces (deterministic: surfaces
+    visited in sorted order; candidate order preserved, first wins).
+    Surfaces whose transform changes their length are kept untransformed
+    (offset fidelity guard — e.g. ligature decomposition)."""
     out: dict[str, tuple[tuple[int, ...], bool]] = {}
     for s in sorted(entries):
         ids, frag = entries[s]
-        low = s.lower()
-        if low in out:
-            pids, pfrag = out[low]
+        t = transform(s)
+        if len(t) != len(s):
+            t = s
+        if t in out:
+            pids, pfrag = out[t]
             merged = pids + tuple(i for i in ids if i not in pids)
-            out[low] = (merged, pfrag or frag)
+            out[t] = (merged, pfrag or frag)
         else:
-            out[low] = (ids, frag)
+            out[t] = (ids, frag)
     return out
 
 
@@ -247,7 +260,8 @@ def build_artifacts(kb_scored_rows: list[dict],
                     namelist_rows: list[dict],
                     subname_rows: list[dict],
                     lowercase: bool = False,
-                    spellcheck: bool = False) -> KBArtifacts:
+                    spellcheck: bool = False,
+                    strip_accents: bool = False) -> KBArtifacts:
     """Compile collected DataFrames into the broadcast payload.
 
     ``kb_scored_rows``: dicts with the KB projection columns;
@@ -305,8 +319,11 @@ def build_artifacts(kb_scored_rows: list[dict],
         nationality_forms=frozenset(nationality_forms()),
         pronouns_male=pron_m,
         pronouns_female=pron_f,
-        lower_automaton=Automaton(_lower_entries(entries)) if lowercase else None,
+        lower_automaton=(Automaton(_transformed_entries(entries, str.lower))
+                         if lowercase else None),
         spell_index=SpellIndex(entries) if spellcheck else None,
+        accent_automaton=(Automaton(_transformed_entries(entries, _strip_acc))
+                          if strip_accents else None),
     )
 
 

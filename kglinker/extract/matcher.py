@@ -323,7 +323,8 @@ def annotate_conversation(conv_id: str,
                           art: KBArtifacts,
                           detect_unknown_names: bool = False,
                           case_insensitive: bool = False,
-                          spellcheck: bool = False) -> list[MentionRow]:
+                          spellcheck: bool = False,
+                          accent_insensitive: bool = False) -> list[MentionRow]:
     """Annotate one conversation. ``turns`` must be (turn_idx, text) sorted
     by turn_idx (the stable ordering invariant).
 
@@ -335,25 +336,41 @@ def annotate_conversation(conv_id: str,
     ``spellcheck=True``) corrects unmatched capitalized tokens to a
     dictionary surface within edit distance 1 — only when the correction
     is UNIQUE and carries KB senses; the emitted surface/offsets stay
-    anchored to the original (misspelled) token."""
+    anchored to the original (misspelled) token.
+
+    ``accent_insensitive`` (P5 ``--remove_accent``, ner_cz.py:1580-1582;
+    requires ``strip_accents=True`` artifacts) matches over an
+    accent-stripped view; offsets/surfaces anchor to the original text
+    (the reference rewrites its input instead)."""
     auto = art.automaton
     use_lower = case_insensitive and art.lower_automaton is not None
+    use_accent = accent_insensitive and art.accent_automaton is not None
     use_spell = spellcheck and art.spell_index is not None
     meta = art.kb_meta
 
     # ---- phase A: scan every turn (matching is context-free) ----------------
     scanned = []  # (turn_idx, st, kb_cands, fragments, pronouns, dates, nats)
+    def _variant_scan(st: str):
+        """Scan over a transformed view (lowercase / accent-stripped),
+        anchoring surfaces and offsets to the original text; falls back to
+        the exact automaton when the transform changes string length.
+        When both flags are set the accent variant wins (a combined
+        automaton is not prebuilt — documented narrowing)."""
+        from kglinker.automaton.build import Match
+        from kglinker.kb.expand import remove_accent
+        if use_accent:
+            view, variant = remove_accent(st), art.accent_automaton
+        else:
+            view, variant = st.lower(), art.lower_automaton
+        if len(view) != len(st):
+            return auto.find_matches(st)
+        return [Match(m.start, m.end, st[m.start:m.end], m.kb_ids,
+                      m.is_fragment) for m in variant.find_matches(view)]
+
     for turn_idx, text in turns:
         st = _sanitize(text)
-        if use_lower:
-            low = st.lower()
-            if len(low) == len(st):  # guard rare length-changing lowercasing
-                from kglinker.automaton.build import Match
-                matches = [Match(m.start, m.end, st[m.start:m.end],
-                                 m.kb_ids, m.is_fragment)
-                           for m in art.lower_automaton.find_matches(low)]
-            else:
-                matches = auto.find_matches(st)
+        if use_lower or use_accent:
+            matches = _variant_scan(st)
         else:
             matches = auto.find_matches(st)
 
@@ -583,13 +600,22 @@ def _disambiguate(cand: list[int], meta: dict, ctx: _ConvContext,
     return cand[scores.index(best)], poor
 
 
+def _fold(s: str) -> str:
+    """Accent-stripped lowercase — the comparison form the reference uses
+    for fragment/antecedent matching (ner_cz.py:1422, :233)."""
+    from kglinker.kb.expand import remove_accent
+    return remove_accent(s).lower()
+
+
 def _nearest_predecessor(person_mentions: list[tuple[int, int, int, str]],
                          turn_idx: int, start: int,
                          cand: tuple[int, ...], fragment: str) -> int | None:
     """D7: nearest preceding person mention whose chosen sense is a
     candidate of this fragment, else whose surface contains the fragment
-    (ner_cz.py:1437-1446)."""
+    (ner_cz.py:1437-1446); the surface comparison is accent/case-folded
+    like the reference's (ner_cz.py:1422)."""
     cset = set(cand)
+    frag = _fold(fragment)
     by_sense = None
     by_surface = None
     for t, s, kb_id, surface in person_mentions:
@@ -597,7 +623,7 @@ def _nearest_predecessor(person_mentions: list[tuple[int, int, int, str]],
             break
         if kb_id in cset:
             by_sense = kb_id
-        elif fragment in surface.split(" "):
+        elif frag in [_fold(w) for w in surface.split(" ")]:
             by_surface = kb_id
     return by_sense if by_sense is not None else by_surface
 

@@ -23,6 +23,7 @@ input keeps this oracle focused on the stages with distribution risk).
 from __future__ import annotations
 
 import re
+import unicodedata
 from decimal import ROUND_HALF_UP, Decimal
 
 from kglinker.data.wordlists import (NATIONALITIES, PRONOUNS_FEMALE,
@@ -349,13 +350,20 @@ class OracleLinker:
                     s, e, surf = obj
                     cand = self.subnames.get(surf, ())
                     cset = set(cand)
+
+                    def fold(x: str) -> str:
+                        return "".join(
+                            ch for ch in unicodedata.normalize("NFKD", x)
+                            if not unicodedata.combining(ch)).lower()
+
+                    fsurf = fold(surf)
                     by_sense = by_surf = None
                     for t, so, kid, psurf in persons_seen:
                         if (t, so) >= (turn_idx, s):
                             break
                         if kid in cset:
                             by_sense = kid
-                        elif surf in psurf.split(" "):
+                        elif fsurf in [fold(w) for w in psurf.split(" ")]:
                             by_surf = kid
                     ante = by_sense if by_sense is not None else by_surf
                     if ante is None:

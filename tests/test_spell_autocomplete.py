@@ -71,3 +71,23 @@ def test_autocomplete_prefix():
     assert art.automaton.autocomplete("Zz") == []
     assert [s for s, _ in art.automaton.autocomplete("", limit=2)] == [
         "Brno", "Masaryk"]
+
+
+def test_accent_insensitive_matching():
+    # P5 --remove_accent variant: accent-stripped text still matches,
+    # offsets anchored to the ORIGINAL text
+    from kglinker.automaton.build import build_artifacts as _ba
+    kb = [dict(kb_id=1, type="person", name="Tomáš Novák", confidence=50.0,
+               wiki_url="https://w/1", **{**_KB_COLS, "gender": "M"})]
+    nl = [dict(surface="Tomáš Novák", kb_ids=[1], is_fragment=False)]
+    art = _ba(kb, nl, [], strip_accents=True)
+    t = "we met Tomas Novak yesterday ."
+    rows = annotate_conversation("c", [(0, t)], art, accent_insensitive=True)
+    assert [(r.surface, r.kb_id) for r in rows] == [("Tomas Novak", 1)]
+    assert t[rows[0].start:rows[0].end] == "Tomas Novak"
+    # accented original still matches through the same variant
+    t2 = "we met Tomáš Novák yesterday ."
+    rows2 = annotate_conversation("c", [(0, t2)], art, accent_insensitive=True)
+    assert [(r.surface, r.kb_id) for r in rows2] == [("Tomáš Novák", 1)]
+    # default path unchanged: unaccented text does not match
+    assert annotate_conversation("c", [(0, t)], art) == []
