@@ -29,7 +29,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["HeadKB", "parse_head_kb", "load_kb_tsv", "normalize_col"]
+__all__ = ["HeadKB", "parse_head_kb", "load_kb_tsv", "load_kb_head_all",
+           "normalize_col"]
 
 _PARSER_FIRST = re.compile(r"""(?ux)
     ^
@@ -123,13 +124,38 @@ def parse_head_kb(text: str) -> HeadKB:
 _WIKI_LONG = {"wiki_backlinks", "wiki_hits", "wiki_ps"}
 
 
+def load_kb_head_all(spark: SparkSession, path: str,
+                     strict: bool = True) -> tuple[str, DataFrame]:
+    """Load the combined ``KB-HEAD.all`` snapshot the reference ships to
+    its shm daemon (``prepare_data.sh``: ``VERSION=<v>`` line + HEAD-KB
+    lines + KB TSV body). Returns ``(version, kb_df)``; the version string
+    is the KB snapshot id the lineage layer records."""
+    lines = spark.sparkContext.textFile(path)
+    header = lines.take(200)
+    if not header or not header[0].startswith("VERSION="):
+        raise ValueError("KB-HEAD.all must start with a VERSION= line")
+    version = header[0][len("VERSION="):].strip()
+    head_lines = []
+    for ln in header[1:]:
+        if ln.startswith("<"):
+            head_lines.append(ln)
+        else:
+            break
+    if not head_lines:
+        raise ValueError("no HEAD-KB lines after VERSION=")
+    kb = load_kb_tsv(spark, "\n".join(head_lines), path, strict=strict,
+                     skip_lines=1 + len(head_lines))
+    return version, kb
+
+
 def load_kb_tsv(spark: SparkSession, head_text: str, tsv_path: str,
-                strict: bool = True) -> DataFrame:
+                strict: bool = True, skip_lines: int = 0) -> DataFrame:
     """HEAD-KB + TSV → unified KB DataFrame with 1-based ``kb_id``.
 
     Rows whose type is unknown or whose cell count differs from the
     type's HEAD-KB arity are rejected (``strict=True`` raises, matching
-    check_columns_in_kb.py:42-53; ``strict=False`` drops them)."""
+    check_columns_in_kb.py:42-53; ``strict=False`` drops them).
+    ``skip_lines`` skips a leading header block (KB-HEAD.all)."""
     head = parse_head_kb(head_text)
     unified = head.unified_columns()
     # per-type mapping: unified column name → source index (or None)
@@ -146,13 +172,16 @@ def load_kb_tsv(spark: SparkSession, head_text: str, tsv_path: str,
         cells = line.rstrip("\n").split("\t")
         etype_full = cells[type_col] if type_col < len(cells) else ""
         etype = etype_full.split(":")[0]
+        kb_id = int(idx) + 1 - skip_lines
         if etype not in mapping or len(cells) != arities[etype]:
-            return (int(idx) + 1, None, cells)   # arity violation
+            return (kb_id, None, cells)   # arity violation
         colmap = mapping[etype]
         vals = [cells[colmap[u]] if u in colmap else "" for u in unified]
-        return (int(idx) + 1, vals, None)
+        return (kb_id, vals, None)
 
-    parsed = lines.zipWithIndex().map(to_row)
+    parsed = (lines.zipWithIndex()
+              .filter(lambda p: p[1] >= skip_lines)
+              .map(to_row))
     bad = parsed.filter(lambda r: r[1] is None)
     if strict:
         offending = bad.take(1)

@@ -111,3 +111,22 @@ def test_merged_entity_table_fill_from_member(spark):
     # single-valued empty on the primary → filled from the other member
     assert row["founded"] == "1900"
     assert row["aliases"] == "x|y"
+
+
+def test_load_kb_head_all(spark, tmp_path):
+    from kglinker.data.headkb import load_kb_head_all
+    p = tmp_path / "KB-HEAD.all"
+    p.write_text("VERSION=2026-08-16\n" + HEAD_REAL + "\n"
+                 + PERSON_ROW + "\n" + SETTLEMENT_ROW + "\n")
+    version, kb = load_kb_head_all(spark, str(p))
+    assert version == "2026-08-16"
+    rows = {r["kb_id"]: r for r in kb.collect()}
+    assert rows[1]["name"] == "Marie Curie"
+    assert rows[2]["name"] == "Prague"
+    assert len(rows) == 2
+    # bad header rejected
+    import pytest
+    q = tmp_path / "bad.all"
+    q.write_text("no version line\n")
+    with pytest.raises(ValueError, match="VERSION"):
+        load_kb_head_all(spark, str(q))
