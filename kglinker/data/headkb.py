@@ -30,7 +30,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["HeadKB", "parse_head_kb", "load_kb_tsv", "load_kb_head_all",
-           "normalize_col"]
+           "ensure_kb_columns", "normalize_col"]
+
+# columns the engine's KB-side operators expect (kb_fixture.KB_COLUMNS
+# minus the wiki metric columns, which load as longs)
+ENGINE_KB_COLUMNS = [
+    "type", "name", "disambiguation_name", "aliases", "redirects",
+    "description", "gender", "date_of_birth", "date_of_death", "jobs",
+    "nationality", "location", "country", "source_loc", "founded",
+    "cancelled", "start", "end", "wiki_url",
+]
+
+
+def ensure_kb_columns(kb: DataFrame) -> DataFrame:
+    """Pad a HEAD-KB-loaded frame with any engine columns its snapshot's
+    types did not define (empty string; wiki metrics null long) so it can
+    drive score_kb / build_namelist / canonical_map directly."""
+    for c in ENGINE_KB_COLUMNS:
+        if c not in kb.columns:
+            kb = kb.withColumn(c, F.lit(""))
+    for c in ("wiki_backlinks", "wiki_hits", "wiki_ps"):
+        if c not in kb.columns:
+            kb = kb.withColumn(c, F.lit(None).cast("long"))
+    return kb
 
 _PARSER_FIRST = re.compile(r"""(?ux)
     ^

@@ -44,13 +44,16 @@ def build_kb_side(spark: SparkSession, kb: DataFrame | None = None):
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame, workdir: str,
                  n_buckets: int = 8, max_buckets: int | None = None,
-                 kb: DataFrame | None = None) -> DataFrame:
+                 kb: DataFrame | None = None,
+                 kb_snapshot: str = "kb-fixture-v1") -> DataFrame:
     """Full pipeline with per-bucket lineage; returns the triples DataFrame
     (also written under ``workdir/graph``). ``max_buckets`` exists for the
-    kill/resume test."""
+    kill/resume test; ``kb_snapshot`` is recorded in every lineage row
+    (the KB-HEAD.all VERSION when loaded via ``load_kb_head_all``)."""
     kb_scored, art, canon = build_kb_side(spark, kb)
     ckpt = LineageCheckpointer(os.path.join(workdir, "mentions"),
-                               os.path.join(workdir, "_lineage"), n_buckets)
+                               os.path.join(workdir, "_lineage"), n_buckets,
+                               kb_snapshot=kb_snapshot)
     ckpt.run(transcripts, lambda part: extract_mentions(part, art),
              max_buckets=max_buckets)
     if len(ckpt.done_buckets()) < n_buckets:

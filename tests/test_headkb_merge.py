@@ -130,3 +130,34 @@ def test_load_kb_head_all(spark, tmp_path):
     q.write_text("no version line\n")
     with pytest.raises(ValueError, match="VERSION"):
         load_kb_head_all(spark, str(q))
+
+
+def test_pipeline_from_kb_head_all(spark, tmp_path):
+    """Real-KB front door end-to-end: KB-HEAD.all snapshot → unified KB →
+    scored KB + automaton → extraction over transcripts → edges, with the
+    snapshot VERSION recorded in every lineage row."""
+    from pyspark.sql import functions as F
+    from kglinker.data.headkb import ensure_kb_columns, load_kb_head_all
+    from kglinker.jobs.pipeline import run_pipeline
+    from kglinker.runtime.checkpoint import LineageCheckpointer
+
+    p = tmp_path / "KB-HEAD.all"
+    p.write_text("VERSION=kb-2026-08\n" + HEAD_REAL + "\n"
+                 + PERSON_ROW + "\n" + SETTLEMENT_ROW + "\n")
+    version, kb = load_kb_head_all(spark, str(p))
+    kb = ensure_kb_columns(kb)
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "Marie Curie visited Prague in 1903 .", None,
+          __import__("datetime").datetime(2025, 1, 1)),
+         ("c1", 1, "user", "later Praha was quiet .", None,
+          __import__("datetime").datetime(2025, 1, 1, 0, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    work = str(tmp_path / "run")
+    edges = run_pipeline(spark, t, work, n_buckets=2, kb=kb,
+                         kb_snapshot=version)
+    co = edges.filter(F.col("pred") == "co_occurs_in_conv").collect()
+    assert len(co) == 1 and {co[0]["subj"], co[0]["obj"]} == {"1", "2"}
+    ck = LineageCheckpointer(f"{work}/mentions", f"{work}/_lineage", 2)
+    assert all(r["kb_snapshot"] == "kb-2026-08" for r in ck.lineage_records())
