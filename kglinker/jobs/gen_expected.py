@@ -21,7 +21,11 @@ import pandas as pd
 
 EXPECTED_DIR = os.path.join(os.path.dirname(__file__), "..", "..",
                             "tests", "expected")
-N_CONVS = 150   # must match kglinker.queries._PIPE_CONVS
+
+
+def _n_convs() -> int:
+    from kglinker.queries import _PIPE_CONVS
+    return _PIPE_CONVS
 
 
 def build_expected() -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -40,7 +44,7 @@ def build_expected() -> tuple[pd.DataFrame, pd.DataFrame]:
     sub = [r.asDict() for r in build_subname_map(kb_scored).collect()]
     linker = OracleLinker(kb_rows_as_dicts(), nl, sub)
 
-    tpdf = transcripts_pdf(N_CONVS)
+    tpdf = transcripts_pdf(_n_convs())
     mentions = oracle_mentions(tpdf, linker)
     mentions = mentions.astype({"turn_idx": "int32", "start": "int32",
                                 "end": "int32", "kb_id": "Int64"})
