@@ -1,0 +1,122 @@
+"""Streaming KG maintenance: incremental co-occurrence edge weights.
+
+Batch mode recomputes edge weights from all mentions; in streaming, each
+micro-batch contributes per-conversation entity pairs whose counts must
+MERGE into the persistent edge table. This module implements that
+read-merge-write inside ``foreachBatch`` — the parquet stand-in for an
+Iceberg ``MERGE INTO kg.edges USING batch ON subj/obj WHEN MATCHED THEN
+UPDATE weight = weight + delta WHEN NOT MATCHED THEN INSERT`` (the
+transactional form on a cluster; exactly-once via the streaming
+checkpoint + idempotent batch-id guard).
+
+Scale notes: the per-batch delta is tiny (pairs from new conversations
+only); the merge joins delta × edge-table keyed by (subj, obj) — on
+Iceberg a storage-partitioned join on the bucket(subj) layout, no full
+rewrite. The batch-id guard makes foreachBatch replays (task retries,
+driver restarts) idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kglinker.data.transcripts import TRANSCRIPTS_SCHEMA
+from kglinker.extract.stage import extract_mentions
+from kglinker.graph.triples import mention_entities
+
+__all__ = ["merge_edge_deltas", "stream_cooccurrence_edges", "read_edge_state"]
+
+_EDGES = "edges"
+_MARK = "_applied_batches.json"
+
+
+def merge_edge_deltas(spark: SparkSession, delta: DataFrame,
+                      state_path: str) -> None:
+    """Merge (subj, obj, weight) deltas into the persistent edge table:
+    matched keys add weights, new keys insert. Parquet read-merge-write
+    (atomic directory swap); Iceberg form: one MERGE INTO."""
+    target = os.path.join(state_path, _EDGES)
+    if os.path.exists(target):
+        cur = spark.read.parquet(target)
+        merged = (cur.unionByName(delta)
+                  .groupBy("subj", "obj")
+                  .agg(F.sum("weight").alias("weight")))
+    else:
+        merged = delta
+    tmp = target + "._staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = target + "._old"
+    if os.path.exists(target):
+        os.replace(target, old)
+    os.replace(tmp, target)
+    if os.path.exists(old):
+        import shutil
+        shutil.rmtree(old)
+
+
+def _applied(state_path: str) -> set[int]:
+    p = os.path.join(state_path, _MARK)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as fh:
+        return set(json.load(fh))
+
+
+def _mark_applied(state_path: str, batch_id: int) -> None:
+    done = _applied(state_path) | {int(batch_id)}
+    p = os.path.join(state_path, _MARK)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(sorted(done), fh)
+    os.replace(tmp, p)
+
+
+def stream_cooccurrence_edges(spark: SparkSession, input_path: str,
+                              state_path: str, checkpoint_path: str,
+                              artifacts_bcast,
+                              available_now: bool = True) -> StreamingQuery:
+    """readStream transcripts → extraction → per-batch pair deltas →
+    idempotent merge into the edge-weight state. Assumes conversations
+    arrive atomically within one micro-batch (the ingest contract;
+    cross-batch conversations go through streaming.stateful first)."""
+    os.makedirs(state_path, exist_ok=True)
+    stream = (spark.readStream
+              .schema(TRANSCRIPTS_SCHEMA)
+              .parquet(input_path)
+              .withWatermark("ts", "1 hour")
+              .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
+
+    def sink(batch_df, batch_id: int) -> None:
+        if int(batch_id) in _applied(state_path):
+            return   # replayed batch: already merged (idempotence guard)
+        mentions = extract_mentions(batch_df, artifacts_bcast)
+        ents = mention_entities(mentions)
+        per_conv = (ents.groupBy("conv_id")
+                    .agg(F.sort_array(F.collect_set("kb_id")).alias("es")))
+        es = F.col("es")
+        pairs = (per_conv.select(F.explode(F.flatten(F.transform(
+                    es, lambda x, i: F.transform(
+                        F.slice(es, i + 2, F.size(es)),
+                        lambda y: F.struct(x.cast("string").alias("subj"),
+                                           y.cast("string").alias("obj")))))).alias("p"))
+                 .select("p.subj", "p.obj"))
+        delta = pairs.groupBy("subj", "obj").agg(
+            F.count(F.lit(1)).alias("weight"))
+        merge_edge_deltas(batch_df.sparkSession, delta, state_path)
+        _mark_applied(state_path, batch_id)
+
+    writer = (stream.writeStream
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_edge_state(spark: SparkSession, state_path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(state_path, _EDGES))
