@@ -69,3 +69,24 @@ def _bind_artifacts(artifacts):
     (hypothesis can't take pytest fixtures directly)."""
     test_match_offsets_and_nonoverlap.art = artifacts
     test_annotation_deterministic_and_valid.art = artifacts
+    test_token_index_equals_trie_walk.art = artifacts
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts())
+def test_token_index_equals_trie_walk(text):
+    """The startswith-probe scan and the trie walk are the same function
+    (the probe path is the default; the trie is the hot-first-token
+    fallback) — forced head-to-head on random text."""
+    from kglinker.automaton.build import Automaton
+    art = test_token_index_equals_trie_walk.art
+    auto = art.automaton
+    old = Automaton._MAX_PROBES
+    try:
+        Automaton._MAX_PROBES = 10 ** 9
+        via_index = auto.find_matches(text)
+        Automaton._MAX_PROBES = -1
+        via_trie = auto.find_matches(text)
+    finally:
+        Automaton._MAX_PROBES = old
+    assert via_index == via_trie
