@@ -269,6 +269,11 @@ class KBArtifacts:
     # automaton; unlike the reference (which rewrites the input string) the
     # scan strips a COPY and keeps offsets anchored to the stored text
     accent_automaton: "Automaton | None" = None
+    # folded (accent-stripped lowercase) subname view — the reference keys
+    # its namedict folded (people_named via remove_accent(...).lower(),
+    # ner_cz.py:233); fallback lookup when a case/accent-variant scan
+    # yields an unfolded fragment surface
+    subname_map_folded: dict = field(default_factory=dict)
 
     def dumps(self) -> bytes:
         return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
@@ -348,6 +353,11 @@ def build_artifacts(kb_scored_rows: list[dict],
             "source_loc": r.get("source_loc") or "",
         }
     sub = {r["subname"]: tuple(int(i) for i in r["kb_ids"]) for r in subname_rows}
+    sub_folded: dict[str, tuple[int, ...]] = {}
+    for k in sorted(sub):
+        fk = _strip_acc(k).lower()
+        prev = sub_folded.get(fk, ())
+        sub_folded[fk] = prev + tuple(i for i in sub[k] if i not in prev)
     pron_m = frozenset({p for b in PRONOUNS_MALE for p in (b, b[:1].upper() + b[1:])})
     pron_f = frozenset({p for b in PRONOUNS_FEMALE for p in (b, b[:1].upper() + b[1:])})
     return KBArtifacts(
@@ -362,6 +372,7 @@ def build_artifacts(kb_scored_rows: list[dict],
         spell_index=SpellIndex(entries) if spellcheck else None,
         accent_automaton=(Automaton(_transformed_entries(entries, _strip_acc))
                           if strip_accents else None),
+        subname_map_folded=sub_folded,
     )
 
 

@@ -410,7 +410,8 @@ def annotate_conversation(conv_id: str,
             elif (m.surface in art.pronouns_male
                   or m.surface in art.pronouns_female):
                 pronouns.append(m)
-            elif m.is_fragment and m.surface in art.subname_map:
+            elif m.is_fragment and (m.surface in art.subname_map
+                                    or _fold(m.surface) in art.subname_map_folded):
                 fragments.append(m)
 
         # M8/M9: dates not overlapping any accepted entity span
@@ -522,7 +523,9 @@ def annotate_conversation(conv_id: str,
                 continue
             if kind == "frag":
                 m = obj
-                cand = art.subname_map.get(m.surface, ())
+                cand = art.subname_map.get(
+                    m.surface,
+                    art.subname_map_folded.get(_fold(m.surface), ()))
                 ante = _nearest_predecessor(person_mentions, turn_idx, m.start,
                                             cand, m.surface)
                 if ante is None:

@@ -91,3 +91,21 @@ def test_accent_insensitive_matching():
     assert [(r.surface, r.kb_id) for r in rows2] == [("Tomáš Novák", 1)]
     # default path unchanged: unaccented text does not match
     assert annotate_conversation("c", [(0, t)], art) == []
+
+
+def test_accent_insensitive_fragment_coref():
+    # fragment matched through the accent variant ('Novak' in text vs
+    # dictionary subname 'Novák') resolves via the folded subname map
+    from kglinker.automaton.build import build_artifacts as _ba
+    kb = [dict(kb_id=1, type="person", name="Jan Novák", confidence=50.0,
+               wiki_url="https://w/1", **{**_KB_COLS, "gender": "M"})]
+    nl = [dict(surface="Jan Novák", kb_ids=[1], is_fragment=False),
+          dict(surface="Novák", kb_ids=[], is_fragment=True)]
+    sub = [dict(subname="Novák", kb_ids=[1])]
+    art = _ba(kb, nl, sub, strip_accents=True)
+    rows = annotate_conversation("c", [
+        (0, "Jan Novak wrote music ."),
+        (1, "Novak also wrote songs ."),
+    ], art, accent_insensitive=True)
+    assert [(r.mention_type, r.surface, r.kb_id) for r in rows] == [
+        ("kb", "Jan Novak", 1), ("coref", "Novak", 1)]
