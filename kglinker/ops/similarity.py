@@ -103,15 +103,22 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], planes: list[list[float]],
             .select("query_id", "vec_id", "cos_sim"))
 
 
-def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """argmax-centroid-cosine assignment (fround ties → cent_id asc)."""
-    sim = fround(_dot("v", "cv") / (_norm("v") * _norm("cv")), 4)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    return (e.crossJoin(F.broadcast(cents))
-            .withColumn("csim", sim)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "v", "cent_id"))
+def _assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """argmax-centroid-cosine assignment against LITERAL centroid arrays —
+    a pure projection, NO join/shuffle (fround ties → cent_id asc via an
+    array_min over (−sim, cent_id) structs, same ordering as a
+    row_number window)."""
+    scored = []
+    for cid in sorted(cents):
+        lit = F.array(*[F.lit(float(x)) for x in cents[cid]])
+        dot = F.aggregate(F.zip_with(F.col("v"), lit, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        nc = F.sqrt(F.aggregate(lit, F.lit(0.0), lambda acc, x: acc + x * x))
+        sim = fround(dot / (_norm("v") * nc), 4)
+        scored.append(F.struct((-sim).alias("negsim"),
+                               F.lit(int(cid)).alias("cent_id")))
+    best = F.array_min(F.array(*scored))
+    return e.select("vec_id", "v", best["cent_id"].alias("cent_id"))
 
 
 def ivf_assign(emb: DataFrame, n_centroids: int = 8,
@@ -125,13 +132,14 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
     bit-for-bit across engines (the DuckDB oracle replays the same
     iterations), at a precision far below any quantization effect.
 
-    Scale: each iteration is one broadcast-assign pass over the corpus +
-    one (cent_id, dim)-keyed aggregation whose state is n_centroids × dim
-    doubles — the classic distributed Lloyd step. Empty clusters keep
-    their previous centroid."""
+    Scale: centroids are driver-side state (n_centroids × dim doubles —
+    the standard distributed k-means shape); each iteration is one
+    shuffle-free literal-centroid assignment pass + one (cent_id, dim)
+    aggregation + a tiny collect. Empty clusters keep their previous
+    centroid."""
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    cents = (e.filter(F.col("vec_id") < n_centroids)
-             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+    cents = {int(r["vec_id"]): list(r["v"]) for r in
+             e.filter(F.col("vec_id") < n_centroids).collect()}
     for _ in range(kmeans_iters):
         assigned = _assign(e, cents)
         means = (assigned
@@ -142,10 +150,8 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("dim", "mv"))),
                      lambda s: s["mv"]).alias("cv")))
-        # empty clusters fall back to their previous centroid
-        cents = (cents.select("cent_id", F.col("cv").alias("_old"))
-                 .join(means, "cent_id", "left")
-                 .select("cent_id", F.coalesce("cv", "_old").alias("cv")))
+        got = {int(r["cent_id"]): list(r["cv"]) for r in means.collect()}
+        cents = {cid: got.get(cid, cv) for cid, cv in cents.items()}
     return _assign(e, cents)
 
 
