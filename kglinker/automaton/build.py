@@ -34,7 +34,16 @@ except Exception:  # pragma: no cover - not present in this container
     _ahc = None
 
 __all__ = ["Automaton", "Match", "KBArtifacts", "SpellIndex",
-           "build_artifacts", "broadcast_artifacts"]
+           "build_artifacts", "broadcast_artifacts", "KB_PROJECTION_COLS"]
+
+# the KB column projection shipped to executors (hand-done pruning the
+# reference applies before shm load, SURVEY §4) — single source of truth
+# for every artifacts builder
+KB_PROJECTION_COLS = ["kb_id", "type", "name", "gender", "confidence",
+                      "nationality", "jobs", "date_of_birth",
+                      "date_of_death", "founded", "cancelled", "start",
+                      "end", "wiki_url", "country", "location",
+                      "source_loc"]
 
 _PAYLOAD = "\0"  # terminal-payload key inside trie nodes (never a text char)
 
@@ -383,11 +392,8 @@ def broadcast_artifacts(spark, kb_scored, namelist, subnames):
     ``figa/make_automat/README.md:1``); at 10^8-surface scale switch the
     collect to ``toLocalIterator`` + on-disk trie, the broadcast call is
     unchanged."""
-    kb_cols = ["kb_id", "type", "name", "gender", "confidence", "nationality",
-               "jobs", "date_of_birth", "date_of_death", "founded",
-               "cancelled", "start", "end", "wiki_url", "country", "location",
-               "source_loc"]
-    kb_rows = [r.asDict() for r in kb_scored.select(*kb_cols).collect()]
+    kb_rows = [r.asDict() for r in
+               kb_scored.select(*KB_PROJECTION_COLS).collect()]
     nl_rows = [r.asDict() for r in namelist.collect()]
     sub_rows = [r.asDict() for r in subnames.collect()]
     art = build_artifacts(kb_rows, nl_rows, sub_rows)

@@ -24,12 +24,9 @@ def artifacts(spark, kb_scored):
     from kglinker.kb.names import build_namelist, build_subname_map
     nl = build_namelist(kb_scored)
     sub = build_subname_map(kb_scored)
-    kb_cols = ["kb_id", "type", "name", "gender", "confidence", "nationality",
-               "jobs", "date_of_birth", "date_of_death", "founded",
-               "cancelled", "start", "end", "wiki_url", "country", "location",
-               "source_loc"]
+    from kglinker.automaton.build import KB_PROJECTION_COLS
     return build_artifacts(
-        [r.asDict() for r in kb_scored.select(*kb_cols).collect()],
+        [r.asDict() for r in kb_scored.select(*KB_PROJECTION_COLS).collect()],
         [r.asDict() for r in nl.collect()],
         [r.asDict() for r in sub.collect()],
     )

