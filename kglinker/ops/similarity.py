@@ -7,9 +7,17 @@
   per-partition ``row_number`` prune AQE applies).
 - :func:`lsh_buckets` / :func:`lsh_topk` — sign-random-projection LSH:
   deterministic hyperplanes derived from md5 (reproducible across engines
-  and runs, no RNG), bucket = sign bit-vector; candidates share the
-  query's bucket → top-k within candidates. The 100 TB path: corpus is
-  pre-bucketed once (write-time), each query touches one bucket.
+  and runs, no RNG), bucket = sign bit-vector, split into BANDS for
+  multi-probe candidate generation (candidates collide in ≥1 band — the
+  same band trick as minhash LSH in :mod:`kglinker.ops.dedup`). The
+  100 TB path: corpus signatures are pre-computed once (write-time);
+  candidate volume scales as ``bands × Σ_buckets n_bucket²/2`` — i.e.
+  ``bands × n² / 2^(planes/bands)`` on hash-uniform data — so recall and
+  work are tuned by (planes, bands), NOT "linear in corpus size"
+  unconditionally: more planes per band → fewer, purer candidates; more
+  bands → higher recall. Production defaults: 16–32 planes, 4–8 bands
+  (the registered gate runs 16/4); recall at production parameters is
+  asserted against the exact brute-force in tests/test_lsh_recall.py.
 
 Dot products run JVM-side via ``aggregate(zip_with(...))`` — no Python in
 the hot loop. Scores are rounded to 4 dp and ranked on the rounded value
@@ -27,8 +35,9 @@ from pyspark.sql.window import Window
 
 from kglinker.ops.util import fround
 
-__all__ = ["cosine_topk", "hyperplanes", "lsh_buckets", "lsh_topk",
-           "cosine_pairs_same_label"]
+__all__ = ["cosine_topk", "hyperplanes", "lsh_buckets", "lsh_band_keys",
+           "lsh_topk", "lsh_neardup_pairs", "cosine_pairs_same_label",
+           "ivf_assign", "ivf_topk"]
 
 
 def _dot(a: str, b: str) -> F.Column:
@@ -85,29 +94,63 @@ def lsh_buckets(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
     return e.select("vec_id", F.concat(*bits).alias("bucket"), "v")
 
 
-def lsh_topk(emb: DataFrame, query_ids: list[int], planes: list[list[float]],
-             k: int = 5) -> DataFrame:
-    """Bucketed ANN: candidates share the query's bucket. Recall < 1 by
-    design; the bucket join replaces the cross join (corpus-scale path)."""
+def lsh_band_keys(emb: DataFrame, planes: list[list[float]],
+                  bands: int) -> DataFrame:
+    """(vec_id, band, key, v): the sign bit-vector split into ``bands``
+    contiguous substrings — the banded multi-probe structure (same shape
+    as the minhash bands in :func:`kglinker.ops.dedup.minhash_lsh_pairs`).
+    Two vectors are CANDIDATES iff they agree on ≥1 band."""
+    n = len(planes)
+    if n % bands:
+        raise ValueError(f"planes ({n}) must divide evenly into bands ({bands})")
+    rpb = n // bands
     b = lsh_buckets(emb, planes)
-    q = (b.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
+    keys = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.substring("bucket", i * rpb + 1, rpb).alias("key"))
+        for i in range(bands)])
+    return (b.select("vec_id", "v", F.explode(keys).alias("bk"))
+            .select("vec_id", F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key"), "v"))
+
+
+def lsh_topk(emb: DataFrame, query_ids: list[int], planes: list[list[float]],
+             k: int = 5, bands: int = 4) -> DataFrame:
+    """Banded multi-probe ANN: candidates share ≥1 of the query's band
+    keys (recall < 1 by design, tuned by planes/bands — see module doc);
+    the band equijoin replaces the cross join (corpus-scale path)."""
+    bk = lsh_band_keys(emb, planes, bands)
+    q = (bk.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("bucket").alias("qb"), F.col("v").alias("qv")))
-    joined = (b.join(F.broadcast(q), (F.col("bucket") == F.col("qb"))
-                     & (F.col("vec_id") != F.col("query_id"))))
+                 F.col("band").alias("qband"), F.col("key").alias("qkey"),
+                 F.col("v").alias("qv")))
+    cand = (bk.join(F.broadcast(q), (F.col("band") == F.col("qband"))
+                    & (F.col("key") == F.col("qkey"))
+                    & (F.col("vec_id") != F.col("query_id")))
+            .select("query_id", "vec_id", "v", "qv")
+            .dropDuplicates(["query_id", "vec_id"]))
     sim = fround(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (joined.withColumn("cos_sim", sim)
+    return (cand.withColumn("cos_sim", sim)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .select("query_id", "vec_id", "cos_sim"))
 
 
-def _assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+# above this many centroids the literal-expression assignment would emit a
+# codegen expression with one struct branch per centroid (compile-time and
+# constant-pool hazards at 4k-64k production centroid counts) — switch to
+# the broadcast-join path
+LITERAL_CENTROID_MAX = 64
+
+
+def _assign_literal(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     """argmax-centroid-cosine assignment against LITERAL centroid arrays —
     a pure projection, NO join/shuffle (fround ties → cent_id asc via an
     array_min over (−sim, cent_id) structs, same ordering as a
-    row_number window)."""
+    row_number window). Right below ``LITERAL_CENTROID_MAX`` centroids;
+    above it the expression tree itself becomes the bottleneck — use
+    :func:`_assign_broadcast`."""
     scored = []
     for cid in sorted(cents):
         lit = F.array(*[F.lit(float(x)) for x in cents[cid]])
@@ -121,8 +164,36 @@ def _assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     return e.select("vec_id", "v", best["cent_id"].alias("cent_id"))
 
 
+def _assign_broadcast(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Same assignment as :func:`_assign_literal` (bit-identical: fround
+    similarity, min over (−sim, cent_id)) via a broadcast centroid
+    DataFrame — the production path for 4k–64k centroids. One broadcast
+    nested-loop score pass + a map-side-combinable min-struct aggregation
+    + an equijoin to re-attach vectors; no all-pairs shuffle."""
+    spark = e.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cents[cid]]) for cid in sorted(cents)],
+        "cent_id int, cv array<double>")
+    sim = fround(_dot("v", "cv") / (_norm("v") * _norm("cv")), 4)
+    best = (e.crossJoin(F.broadcast(cdf))
+            .select("vec_id", F.struct((-sim).alias("negsim"),
+                                       F.col("cent_id")).alias("s"))
+            .groupBy("vec_id")
+            .agg(F.min("s").alias("best"))
+            .select("vec_id", F.col("best.cent_id").alias("cent_id")))
+    return e.join(best, "vec_id").select("vec_id", "v", "cent_id")
+
+
+def _assign(e: DataFrame, cents: dict[int, list[float]],
+            mode: str = "auto") -> DataFrame:
+    if mode == "literal" or (mode == "auto"
+                             and len(cents) <= LITERAL_CENTROID_MAX):
+        return _assign_literal(e, cents)
+    return _assign_broadcast(e, cents)
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 8,
-               kmeans_iters: int = 2) -> DataFrame:
+               kmeans_iters: int = 2, assign_mode: str = "auto") -> DataFrame:
     """(vec_id, v, cent_id): IVF coarse quantization.
 
     Seeds = the first ``n_centroids`` vectors by vec_id (deterministic, no
@@ -134,14 +205,18 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
 
     Scale: centroids are driver-side state (n_centroids × dim doubles —
     the standard distributed k-means shape); each iteration is one
-    shuffle-free literal-centroid assignment pass + one (cent_id, dim)
-    aggregation + a tiny collect. Empty clusters keep their previous
-    centroid."""
+    assignment pass + one (cent_id, dim) aggregation + a tiny collect.
+    ``assign_mode``: 'literal' embeds centroids as codegen literals
+    (shuffle-free, right up to ``LITERAL_CENTROID_MAX``); 'broadcast'
+    scores against a broadcast centroid DataFrame (the 4k–64k-centroid
+    production path); 'auto' (default) picks by count. Both produce
+    bit-identical assignments (tests/test_ivf_recall.py asserts it).
+    Empty clusters keep their previous centroid."""
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
     cents = {int(r["vec_id"]): list(r["v"]) for r in
              e.filter(F.col("vec_id") < n_centroids).collect()}
     for _ in range(kmeans_iters):
-        assigned = _assign(e, cents)
+        assigned = _assign(e, cents, assign_mode)
         means = (assigned
                  .select("cent_id", F.posexplode("v").alias("dim", "val"))
                  .groupBy("cent_id", "dim")
@@ -152,15 +227,16 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
                      lambda s: s["mv"]).alias("cv")))
         got = {int(r["cent_id"]): list(r["cv"]) for r in means.collect()}
         cents = {cid: got.get(cid, cv) for cid, cv in cents.items()}
-    return _assign(e, cents)
+    return _assign(e, cents, assign_mode)
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
-             n_centroids: int = 8, kmeans_iters: int = 2) -> DataFrame:
+             n_centroids: int = 8, kmeans_iters: int = 2,
+             assign_mode: str = "auto") -> DataFrame:
     """IVF ANN: each query probes only its own centroid's inverted list —
     the corpus-scale path where the cross join is replaced by a bucket
     equijoin (recall < 1 by design, like any single-probe IVF)."""
-    assign = ivf_assign(emb, n_centroids, kmeans_iters)
+    assign = ivf_assign(emb, n_centroids, kmeans_iters, assign_mode)
     q = (assign.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("cent_id").alias("qc"), F.col("v").alias("qv")))
@@ -175,26 +251,38 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
 
 def lsh_neardup_pairs(emb: DataFrame, planes: list[list[float]],
-                      threshold: float = 0.95) -> DataFrame:
+                      threshold: float = 0.95, bands: int = 4) -> DataFrame:
     """Embedding near-dup pairs — the REGISTERED scale path: candidates
-    come from a sign-random-projection bucket self-join (linear in corpus
-    size, never all-pairs; a label-blocked all-pairs comparison would make
-    a single popular label the whole corpus at 100 TB). Blocked-exact
+    come from a banded sign-random-projection self-join (a pair is a
+    candidate iff it collides in ≥1 band; a label-blocked all-pairs
+    comparison would make a single popular label the whole corpus at
+    100 TB). Candidate volume ≈ ``bands × n²/2^(planes/bands)`` on
+    hash-uniform data (see module doc) — pick planes/bands so buckets stay
+    small; recall at the registered 16-plane/4-band parameters is asserted
+    ≥0.9 vs exact brute-force in tests/test_lsh_recall.py. Blocked-exact
     (:func:`cosine_pairs_same_label`) remains as the verification stage.
-    Returns (vec_a, vec_b, cos_sim ≥ threshold), vec_a < vec_b."""
-    b = lsh_buckets(emb, planes)
-    a, c = b.alias("a"), b.alias("b")
-    sim = fround(
-        F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-                    F.lit(0.0), lambda acc, v: acc + v)
-        / (F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, v: acc + v * v))
-           * F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, v: acc + v * v))), 4)
-    return (a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
+    Returns (vec_a, vec_b, cos_sim ≥ threshold), vec_a < vec_b.
+
+    Plan shape: the band self-join runs over (vec_id, band, key) signature
+    rows only; vectors are joined back onto the (deduplicated) candidate
+    pairs, so the wide embedding column never rides through the skew-prone
+    band shuffle."""
+    bk = lsh_band_keys(emb, planes, bands).select("vec_id", "band", "key")
+    a, c = bk.alias("a"), bk.alias("b")
+    cand = (a.join(c, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
+    sim = fround(_dot("av", "bv") / (_norm("av") * _norm("bv")), 4)
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
             .withColumn("cos_sim", sim)
             .filter(F.col("cos_sim") >= threshold)
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"), "cos_sim"))
+            .select("vec_a", "vec_b", "cos_sim"))
 
 
 def cosine_pairs_same_label(emb: DataFrame, threshold: float = 0.95) -> DataFrame:

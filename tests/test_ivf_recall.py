@@ -58,6 +58,63 @@ def test_kmeans_refinement_improves_recall(spark):
     assert r_kmeans >= 0.9, (r_seed, r_kmeans)
 
 
+def test_assignment_paths_identical(spark):
+    """The literal-expression and broadcast-join assignment paths must be
+    bit-identical (r2 verdict demand #4) — same fround similarity, same
+    (−sim, cent_id) argmin ordering — including through Lloyd refinement."""
+    from kglinker.ops.similarity import ivf_assign
+    emb = _emb(spark).cache()
+    for iters in (0, 2):
+        lit = {(r["vec_id"], r["cent_id"]) for r in
+               ivf_assign(emb, N_CLUSTERS, iters, assign_mode="literal").collect()}
+        bc = {(r["vec_id"], r["cent_id"]) for r in
+              ivf_assign(emb, N_CLUSTERS, iters, assign_mode="broadcast").collect()}
+        assert lit == bc
+
+
+def test_ivf_topk_identical_across_paths(spark):
+    emb = _emb(spark).cache()
+    lit = sorted(map(tuple, ivf_topk(emb, [10, 77], 5, N_CLUSTERS, 2,
+                                     assign_mode="literal").collect()))
+    bc = sorted(map(tuple, ivf_topk(emb, [10, 77], 5, N_CLUSTERS, 2,
+                                    assign_mode="broadcast").collect()))
+    assert lit == bc
+
+
+def test_broadcast_assignment_512_centroids(spark):
+    """Production centroid counts (4k–64k) are broadcast-path territory —
+    the literal expression would be a 512+-branch codegen tree. Verify the
+    broadcast path at 512 centroids against a driver-side numpy replica of
+    the exact argmin (fround(sim, 4), ties → cent_id asc)."""
+    import math
+
+    from kglinker.ops.similarity import ivf_assign
+    n, dim, n_cents = 1200, 8, 512
+    rows = []
+    for i in range(n):
+        rows.append((i, [
+            int(hashlib.md5(f"big:{i}:{d}".encode()).hexdigest()[:8], 16)
+            / float(0xFFFFFFFF) - 0.5 for d in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cent_id"] for r in
+           ivf_assign(emb, n_cents, kmeans_iters=0,
+                      assign_mode="broadcast").collect()}
+    assert len(got) == n
+
+    def fr(x: float) -> float:
+        return math.floor(x * 10000.0) / 10000.0
+
+    by_id = dict(rows)
+    cents = {cid: by_id[cid] for cid in range(n_cents)}
+    norms = {cid: math.sqrt(sum(x * x for x in v)) for cid, v in cents.items()}
+    for vid, v in rows:
+        nv = math.sqrt(sum(x * x for x in v))
+        best = min(
+            ((-fr(sum(a * b for a, b in zip(v, cv)) / (nv * norms[cid])), cid)
+             for cid, cv in cents.items()))
+        assert got[vid] == best[1], (vid, got[vid], best)
+
+
 def test_kmeans_assignment_matches_labels(spark):
     """After 2 Lloyd iterations the partition should essentially recover
     the generating clusters: vectors sharing a label share a centroid."""

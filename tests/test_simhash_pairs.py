@@ -1,0 +1,56 @@
+"""simhash Hamming-k pairing (r2 verdict demand #3): block-banded
+candidate generation must find EXACTLY the pairs within Hamming distance
+k — the pigeonhole argument (a pair at distance ≤ k agrees on ≥1 of the
+k+1 blocks) makes the banding lossless, so the operator equals the
+brute-force over signatures, never approximates it."""
+
+from __future__ import annotations
+
+import pytest
+
+from kglinker.ops.dedup import simhash_pairs, simhash_signatures
+
+
+def _docs(spark):
+    # near-duplicate family (token edits) + unrelated docs
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "web", 0),
+        (1, "the quick brown fox jumps over the lazy cat", "en", "web", 0),
+        (2, "the quick brown fox leaps over the lazy dog", "en", "web", 0),
+        (3, "completely different text about spark partitioning", "en", "web", 0),
+        (4, "another unrelated document on knowledge graphs", "en", "web", 0),
+        (5, "the quick brown fox jumps over the lazy dog", "en", "web", 0),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+
+
+@pytest.mark.parametrize("bits,k", [(16, 3), (16, 2), (24, 3)])
+def test_simhash_pairs_equal_bruteforce(spark, bits, k):
+    docs = _docs(spark)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, bits).collect()}
+    ids = sorted(sigs)
+    truth = {(a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+             for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(sigs[a] ^ sigs[b]).count("1") <= k}
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in simhash_pairs(docs, bits, k).collect()}
+    assert got == truth
+    if k >= 2:
+        # the doc-5 exact copy of doc 0 must pair at distance 0
+        assert (0, 5, 0) in got
+
+
+def test_simhash_pairs_block_cover_with_remainder(spark):
+    """bits not divisible by k+1: remainder bits must still be covered by
+    exactly one block (no bit dropped → pigeonhole still holds)."""
+    docs = _docs(spark)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, 18).collect()}
+    ids = sorted(sigs)
+    truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    got = {(r["doc_a"], r["doc_b"])
+           for r in simhash_pairs(docs, 18, 3).collect()}
+    assert got == truth
