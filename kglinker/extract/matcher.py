@@ -324,7 +324,8 @@ def annotate_conversation(conv_id: str,
                           detect_unknown_names: bool = False,
                           case_insensitive: bool = False,
                           spellcheck: bool = False,
-                          accent_insensitive: bool = False) -> list[MentionRow]:
+                          accent_insensitive: bool = False,
+                          uri_matching: bool = False) -> list[MentionRow]:
     """Annotate one conversation. ``turns`` must be (turn_idx, text) sorted
     by turn_idx (the stable ordering invariant).
 
@@ -341,29 +342,39 @@ def annotate_conversation(conv_id: str,
     ``accent_insensitive`` (P5 ``--remove_accent``, ner_cz.py:1580-1582;
     requires ``strip_accents=True`` artifacts) matches over an
     accent-stripped view; offsets/surfaces anchor to the original text
-    (the reference rewrites its input instead)."""
+    (the reference rewrites its input instead).
+
+    ``uri_matching`` (figa ``-u``, create_cedar.sh:43-45; requires
+    artifacts built with ``uri_rows``) additionally scans each turn with
+    the URI automaton — entity URL strings in the text become kb mentions
+    with the owning rows as candidates."""
     auto = art.automaton
     use_lower = case_insensitive and art.lower_automaton is not None
     use_accent = accent_insensitive and art.accent_automaton is not None
     use_spell = spellcheck and art.spell_index is not None
+    use_uri = uri_matching and art.uri_automaton is not None
     meta = art.kb_meta
 
     # ---- phase A: scan every turn (matching is context-free) ----------------
     scanned = []  # (turn_idx, st, kb_cands, fragments, pronouns, dates, nats)
     def _variant_scan(st: str):
-        """Scan over a transformed view (lowercase / accent-stripped),
-        anchoring surfaces and offsets to the original text; falls back to
-        the exact automaton when the transform changes string length.
-        When both flags are set the accent variant wins (a combined
-        automaton is not prebuilt — documented narrowing)."""
+        """Scan over a transformed view (lowercase / accent-folded),
+        anchoring surfaces and offsets to the original text. The accent
+        view uses the LENGTH-PRESERVING per-char fold (fold_accent_chars —
+        the same transform the accent automaton keys were built with), so
+        offsets always line up and no silent exact-automaton fallback
+        exists; str.lower() length changes are theoretical (İ-style), and
+        that branch keeps a fallback guard. When both flags are set the
+        accent variant wins (a combined automaton is not prebuilt —
+        documented narrowing)."""
         from kglinker.automaton.build import Match
-        from kglinker.kb.expand import remove_accent
+        from kglinker.kb.expand import fold_accent_chars
         if use_accent:
-            view, variant = remove_accent(st), art.accent_automaton
+            view, variant = fold_accent_chars(st), art.accent_automaton
         else:
             view, variant = st.lower(), art.lower_automaton
-        if len(view) != len(st):
-            return auto.find_matches(st)
+            if len(view) != len(st):
+                return auto.find_matches(st)
         return [Match(m.start, m.end, st[m.start:m.end], m.kb_ids,
                       m.is_fragment) for m in variant.find_matches(view)]
 
@@ -373,6 +384,18 @@ def annotate_conversation(conv_id: str,
             matches = _variant_scan(st)
         else:
             matches = auto.find_matches(st)
+
+        if use_uri:
+            # figa -u: separate scan over the URI automaton; URI hits are
+            # kb matches (kept over any shorter name match they cover)
+            uri_hits = art.uri_automaton.find_matches(st)
+            if uri_hits:
+                spans = [(u.start, u.end) for u in uri_hits]
+                matches = sorted(
+                    [m for m in matches
+                     if not any(not (m.end <= s or m.start >= e)
+                                for s, e in spans)] + uri_hits,
+                    key=lambda m: m.start)
 
         if use_spell:
             # M4: unmatched capitalized tokens → unique dist-1 dictionary

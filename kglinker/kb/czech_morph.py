@@ -1,0 +1,243 @@
+"""G8: rule-based Czech declension generator for person names.
+
+Port of the CAPABILITY of the reference's namegen system
+(``/root/reference/figa/make_automat/czechnames/namegen.py``, invoked from
+``create_cedar.sh:136-142``; per-word ``/``-alternatives are cross-producted
+back into full-name variants by ``KB2namelist.py:96-129``
+``build_name_variant``). The reference delegates the actual morphology to
+an external morphological analyzer that is not distributable; this module
+instead encodes the standard, public Czech declension paradigms directly:
+
+- masculine animate nouns: hard stems (*pán*: Novák → Nováka / Novákovi /
+  Novákem), soft stems (*muž*: Tomáš → Tomáše / Tomáši / Tomášem), -a
+  stems (*předseda*: Svoboda → Svobody / Svobodovi / Svobodou), fleeting
+  -e- (-ek/-ec: Čapek → Čapka, Němec → Němce), mute final -e of foreign
+  names (Garrigue → Garrigua / Garriguovi / Garriguem), soft-read -ge
+  (*soudce*-like: George → George / Georgi / Georgem), adjectival
+  surnames (-ý: Novotný → Novotného / Novotnému / Novotným), and the
+  pronominal -y/-i declension of foreign given names (Harry → Harryho /
+  Harrymu / Harrym);
+- feminine: -a stems (*žena*: Anna → Anny / Anně / Annu / Annou, with the
+  standard dative/locative consonant alternations k→c, g/h→z, ch→š, r→ř),
+  -e/-ie stems (*růže*: Marie → Marii / Marií), adjectival -á and derived
+  -ová surnames (Sychravová → Sychravové / Sychravovou), the ``-ová``
+  derivation itself for consonant-final foreign surnames (O'Connor →
+  O'Connorová / O'Connorové / O'Connorovou), and indeclinability of
+  vowel-final foreign words (Flannery, Curie).
+
+Emitted cases: genitive, dative, accusative, locative, instrumental (the
+oblique cases a text mentions; the vocative is deliberately NOT emitted —
+it is irregular, rarely written in transcripts, and for hard stems
+collides with short datives). Per-word alternative forms (e.g. dative
+Janu/Janovi) are cross-producted exactly like the reference's
+``/``-alternative contract; the non-final words keep both short and long
+datives while the final (surname) slot uses the long ``-ovi`` form, which
+is the combination actually written in Czech ("Janu Novákovi").
+
+Name-internal prepositions (van, von, de …) and initials stay invariant
+(namegen grammars type them t=7/t=A — non-inflecting terminals).
+
+Validated in tests/test_czech_morph.py against the r2 hand-checked
+fixture corpus as goldens (the generator REPRODUCES the corpus, it does
+not consume it) plus hand-verified cases outside that corpus.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from kglinker.data.wordlists import NAME_PREPOSITIONS
+
+__all__ = ["decline_masc_word", "decline_fem_word", "czech_name_inflections",
+           "guess_gender"]
+
+CASES = ("gen", "dat", "acc", "loc", "instr")
+
+_SOFT_FINALS = ("š", "č", "ř", "ž", "c", "j", "ď", "ť", "ň")
+_VOWELS = "aeiouyáéěíóúůý"
+
+# feminine -a dative/locative stem-final alternations (žena paradigm)
+_FEM_DAT_ALT = [
+    ("ck", "cce"), ("sk", "sce"),            # Franceska → Francesce
+    ("k", "ce"), ("ch", "še"), ("g", "ze"), ("h", "ze"), ("r", "ře"),
+    ("d", "dě"), ("t", "tě"), ("n", "ně"),
+    ("b", "bě"), ("p", "pě"), ("m", "mě"), ("v", "vě"), ("f", "fě"),
+]
+
+
+def _invariant(w: str) -> dict[str, list[str]]:
+    return {c: [w] for c in CASES}
+
+
+def decline_masc_word(w: str) -> dict[str, list[str]]:
+    """Case → alternative forms for one word of a masculine person name."""
+    lw = w.lower()
+    # adjectival surname (Novotný, Veselý, -ský/-cký)
+    if lw.endswith("ý"):
+        s = w[:-1]
+        return {"gen": [s + "ého"], "dat": [s + "ému"], "acc": [s + "ého"],
+                "loc": [s + "ém"], "instr": [s + "ým"]}
+    # -a stem (předseda: Svoboda, Smetana)
+    if lw.endswith("a"):
+        s = w[:-1]
+        return {"gen": [s + "y"], "dat": [s + "ovi"], "acc": [s + "u"],
+                "loc": [s + "ovi"], "instr": [s + "ou"]}
+    # pronominal declension of foreign given names in [i] (Harry, Jimmy)
+    if lw.endswith(("y", "i")) and len(lw) >= 3:
+        return {"gen": [w + "ho"], "dat": [w + "mu"], "acc": [w + "ho"],
+                "loc": [w + "m"], "instr": [w + "m"]}
+    # soft adjectival -í (Jiří): Jiřího / Jiřímu / Jiřím
+    if lw.endswith("í"):
+        return {"gen": [w + "ho"], "dat": [w + "mu"], "acc": [w + "ho"],
+                "loc": [w + "m"], "instr": [w + "m"]}
+    # other vowel-final: indeclinable (Hugo, Janů)
+    if lw[-1] in "ouúůóíéě":
+        return _invariant(w)
+    # mute final -e of French/English names: -gue/-que read as hard [g]/[k]
+    if lw.endswith(("gue", "que")):
+        s = w[:-1]
+        return {"gen": [s + "a"], "dat": [s + "ovi"], "acc": [s + "a"],
+                "loc": [s + "ovi"], "instr": [s + "em"]}
+    # soft-read -ge/-je (George [-dž]): soudce-like, nominative = genitive
+    if lw.endswith(("ge", "je")):
+        s = w[:-1]
+        return {"gen": [w], "dat": [s + "i", w + "ovi"], "acc": [w],
+                "loc": [s + "i", w + "ovi"], "instr": [s + "em"]}
+    # other mute -e (Pierre, Dave): drop the -e, hard paradigm
+    if lw.endswith("e"):
+        s = w[:-1]
+        return {"gen": [s + "a"], "dat": [s + "ovi"], "acc": [s + "a"],
+                "loc": [s + "ovi"], "instr": [s + "em"]}
+    # fleeting -e-: -ek → -k- (Čapek → Čapka), -ec → -c- soft (Němec → Němce)
+    if lw.endswith("ek") and len(lw) > 3:
+        s = w[:-2] + w[-1]
+        return {"gen": [s + "a"], "dat": [s + "u", s + "ovi"], "acc": [s + "a"],
+                "loc": [s + "u", s + "ovi"], "instr": [s + "em"]}
+    if lw.endswith("ec") and len(lw) > 3:
+        s = w[:-2] + w[-1]
+        return {"gen": [s + "e"], "dat": [s + "i", s + "ovi"], "acc": [s + "e"],
+                "loc": [s + "i", s + "ovi"], "instr": [s + "em"]}
+    # fleeting -e- in -el after a consonant (Karel → Karla, Havel → Havla;
+    # vowel+el stays regular: Daniel → Daniela)
+    if lw.endswith("el") and len(lw) > 3 and lw[-3] not in _VOWELS:
+        s = w[:-2] + w[-1]
+        return {"gen": [s + "a"], "dat": [s + "u", s + "ovi"], "acc": [s + "a"],
+                "loc": [s + "u", s + "ovi"], "instr": [s + "em"]}
+    # soft consonant final (muž: Tomáš, Lukáš, Ondřej)
+    if lw.endswith(_SOFT_FINALS):
+        return {"gen": [w + "e"], "dat": [w + "i", w + "ovi"], "acc": [w + "e"],
+                "loc": [w + "i", w + "ovi"], "instr": [w + "em"]}
+    # hard consonant final (pán: Jan, Novák, Washington, Beethoven)
+    return {"gen": [w + "a"], "dat": [w + "u", w + "ovi"], "acc": [w + "a"],
+            "loc": [w + "u", w + "ovi"], "instr": [w + "em"]}
+
+
+def decline_fem_word(w: str, is_surname: bool) -> dict[str, list[str]]:
+    """Case → alternative forms for one word of a feminine person name.
+    ``is_surname`` gates the -ová derivation of consonant-final foreign
+    surnames (given names never derive: Flannery stays Flannery)."""
+    lw = w.lower()
+    # derived/adjectival surnames and adjectival given forms: -ová / -á
+    if lw.endswith("á"):
+        s = w[:-1]
+        return {"gen": [s + "é"], "dat": [s + "é"], "acc": [s + "ou"],
+                "loc": [s + "é"], "instr": [s + "ou"]}
+    # -ie / -e stems (růže: Marie, Lucie, Alice)
+    if lw.endswith("e") and len(lw) >= 3:
+        if is_surname:
+            # vowel-final foreign surname (Curie): indeclinable, no -ová
+            return _invariant(w)
+        s = w[:-1]
+        return {"gen": [w], "dat": [s + "i"], "acc": [s + "i"],
+                "loc": [s + "i"], "instr": [s + "í"]}
+    # -a stem (žena: Anna, Eva, Eliška) with dat/loc alternation
+    if lw.endswith("a"):
+        s = w[:-1]
+        ls = lw[:-1]
+        dat = None
+        for suf, rep in _FEM_DAT_ALT:
+            if ls.endswith(suf):
+                dat = w[:-1 - len(suf)] + rep
+                break
+        if dat is None:
+            dat = s + "e"   # soft finals and s/z/l take plain -e (Dáše, Denise)
+        return {"gen": [s + "y"], "dat": [dat], "acc": [s + "u"],
+                "loc": [dat], "instr": [s + "ou"]}
+    # consonant-final: indeclinable; surnames additionally derive -ová
+    if lw[-1] not in _VOWELS:
+        out = _invariant(w)
+        if is_surname:
+            out = {
+                "gen": [w, w + "ové"], "dat": [w, w + "ové"],
+                "acc": [w, w + "ovou"], "loc": [w, w + "ové"],
+                "instr": [w, w + "ovou"],
+                # the derived nominative itself is a recognizable surface
+                "nom_var": [w + "ová"],
+            }
+        return out
+    # other vowel-final (Flannery, Niki): indeclinable
+    return _invariant(w)
+
+
+def guess_gender(name: str) -> str:
+    """Heuristic for KB rows without a gender attribute (the reference's
+    namegen guesses when the input omits the kind column, README.md of
+    czechnames): derived/adjectival surname → F; -a/-ie first word → F;
+    else M."""
+    words = name.split(" ")
+    if words and words[-1].lower().endswith(("ová", "á")):
+        return "F"
+    if words and words[0].lower().endswith(("a", "ie")):
+        return "F"
+    return "M"
+
+
+def _declinable(w: str) -> bool:
+    return (len(w) >= 2 and w[0].isalpha()
+            and not w.endswith(".")
+            and w.lower() not in NAME_PREPOSITIONS)
+
+
+def czech_name_inflections(name: str, gender: str = "") -> list[str]:
+    """All oblique-case surface forms of a person name (the nominative
+    itself excluded), sorted. Per-word alternatives are cross-producted
+    within each case (the reference's ``/``-alternatives contract,
+    ``KB2namelist.py:96-129``); the final declinable word of masculine
+    dative/locative keeps only the long ``-ovi`` alternatives."""
+    return list(_inflections_cached(name, gender))
+
+
+@lru_cache(maxsize=8192)   # also called per-turn by the corpus generator
+def _inflections_cached(name: str, gender: str) -> tuple[str, ...]:
+    words = name.split(" ")
+    if not words or not any(_declinable(w) for w in words):
+        return ()
+    g = (gender or guess_gender(name)).upper()[:1]
+    last_idx = max(i for i, w in enumerate(words) if _declinable(w))
+
+    per_word: list[dict[str, list[str]]] = []
+    for i, w in enumerate(words):
+        if not _declinable(w):
+            per_word.append(_invariant(w) | {"nom_var": [w]})
+            continue
+        if g == "F":
+            d = decline_fem_word(w, is_surname=(i == last_idx))
+        else:
+            d = decline_masc_word(w)
+            if i == last_idx:
+                for case in ("dat", "loc"):
+                    long = [f for f in d[case] if f.endswith("ovi")]
+                    if long:
+                        d[case] = long
+        d.setdefault("nom_var", [w])
+        per_word.append(d)
+
+    out: set[str] = set()
+    for case in CASES + ("nom_var",):
+        combos = [""]
+        for d in per_word:
+            alts = d.get(case) or [d["nom_var"][0]]
+            combos = [c + (" " if c else "") + a for c in combos for a in alts]
+        out.update(combos)
+    out.discard(name)
+    return tuple(sorted(out))

@@ -8,9 +8,10 @@ data path; the KB side is small and batched), and (b) the single-process
 parity oracle calls them directly, guaranteeing the two paths share one
 implementation of the tricky string logic.
 
-Czech morphological inflection (G8, ``czechnames/namegen.py`` — 815 LoC
-grammar system) is stubbed per SURVEY §7.5: :func:`czech_inflections`
-raises ``NotImplementedError`` unless given precomputed fixtures.
+Czech morphological inflection (G8, the reference's ``czechnames/
+namegen.py`` grammar system) is implemented from scratch in
+:mod:`kglinker.kb.czech_morph` (rule-based declension paradigms) and
+exposed here as :func:`czech_inflections`.
 """
 
 from __future__ import annotations
@@ -18,11 +19,13 @@ from __future__ import annotations
 import itertools
 import re
 import unicodedata
+from functools import lru_cache
 
 from kglinker.data.wordlists import NAME_PREPOSITIONS, TITLES
 
 __all__ = [
-    "remove_accent", "normalize_ws", "strip_name_tags", "is_unsuitable",
+    "remove_accent", "fold_accent_chars", "normalize_ws", "strip_name_tags",
+    "is_unsuitable",
     "person_variants", "subnames", "org_event_variants", "nationality_variants",
     "czech_inflections",
 ]
@@ -40,6 +43,25 @@ def remove_accent(s: str) -> str:
     """NFKD accent strip (``library/utils.py:9-12``)."""
     return "".join(c for c in unicodedata.normalize("NFKD", s)
                    if not unicodedata.combining(c))
+
+
+@lru_cache(maxsize=None)
+def _fold_char(c: str) -> str:
+    stripped = "".join(x for x in unicodedata.normalize("NFKD", c)
+                       if not unicodedata.combining(x))
+    return stripped if len(stripped) == 1 else c
+
+
+def fold_accent_chars(s: str) -> str:
+    """LENGTH-PRESERVING accent fold: each char maps to its single-char
+    NFKD base, or stays itself when the decomposition is not 1:1 (ß → ß,
+    ligatures stay composed). Unlike :func:`remove_accent` the output
+    always has ``len(s)`` chars, so offset-anchored accent-insensitive
+    matching never has to fall back to the exact automaton
+    (kglinker/extract/matcher.py ``_variant_scan``) — both the variant
+    automaton keys and the scan view use THIS fold, keeping the two sides
+    consistent."""
+    return "".join(map(_fold_char, s))
 
 
 def normalize_ws(s: str) -> str:
@@ -208,12 +230,12 @@ def nationality_variants(nat: str) -> list[str]:
     return sorted({v for f in forms for v in (f, f.lower(), f[:1].upper() + f[1:])})
 
 
-def czech_inflections(name: str, fixtures: dict[str, list[str]] | None = None) -> list[str]:
-    """G8 stub (SURVEY §7.5): real namegen.py is a Czech grammar system;
-    tests feed precomputed fixtures."""
-    if fixtures is not None:
-        return fixtures.get(name, [])
-    raise NotImplementedError(
-        "Czech morphological generation (reference figa/make_automat/czechnames/"
-        "namegen.py) is out of scope v1; supply precomputed fixtures."
-    )
+def czech_inflections(name: str, gender: str = "") -> list[str]:
+    """G8: Czech oblique-case forms of a person name — the rule-based
+    declension generator (:mod:`kglinker.kb.czech_morph`), the from-scratch
+    counterpart of the reference's namegen grammar system
+    (``figa/make_automat/czechnames/namegen.py``, invoked from
+    ``create_cedar.sh:136-142``). ``gender`` ∈ {M, F, ''} — empty guesses
+    like namegen does when the kind column is omitted."""
+    from kglinker.kb.czech_morph import czech_name_inflections
+    return czech_name_inflections(normalize_ws(name), gender)

@@ -29,7 +29,8 @@ from kglinker.data.wordlists import (ALLOWLIST, NATIONALITIES, PRONOUNS,
                                      STOPLIST)
 from kglinker.kb import expand as X
 
-__all__ = ["build_namelist", "build_subname_map", "nationality_forms"]
+__all__ = ["build_namelist", "build_subname_map", "build_uri_namelist",
+           "nationality_forms"]
 
 _VARIANT_SCHEMA = T.ArrayType(T.StringType())
 
@@ -75,14 +76,15 @@ def _gen_subnames(name: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(_VARIANT_SCHEMA)
-def _gen_inflections(name: pd.Series) -> pd.Series:
-    """G8: Czech oblique-case forms from the fixture corpus, each treated
-    as an additional key_inflection — the reference runs the full variant
-    generation per inflected form (KB2namelist.py main loop)."""
-    from kglinker.data.wordlists import CZECH_INFLECTIONS
+def _gen_inflections(name: pd.Series, gender: pd.Series) -> pd.Series:
+    """G8: Czech oblique-case forms from the declension generator
+    (kglinker/kb/czech_morph.py — the from-scratch namegen counterpart),
+    each treated as an additional key_inflection — the reference runs the
+    full variant generation per inflected form (KB2namelist.py main
+    loop)."""
     out = []
-    for n in name:
-        forms = X.czech_inflections(n, CZECH_INFLECTIONS)
+    for n, g in zip(name, gender):
+        forms = X.czech_inflections(n, g or "")
         acc: set[str] = set()
         for f in forms:
             acc.add(f)
@@ -138,13 +140,15 @@ def build_namelist(kb_scored: DataFrame,
                             F.coalesce("source_loc", F.lit("")),
                             F.coalesce("description", F.lit("")))).alias("surface")))
 
-    # G8 Czech inflections (fixture-backed) for persons — wired into the
-    # build path since r2 (the reference's create_cedar.sh:136-142 runs
-    # namegen in its default dictionary build)
+    # G8 Czech inflections (generator-backed since r3) for persons — the
+    # reference's create_cedar.sh:136-142 runs namegen in its default
+    # dictionary build
     persons = kb_scored.filter(F.col("type").startswith("person"))
     inflected = (persons
                  .select("kb_id", "type",
-                         F.explode(_gen_inflections("name")).alias("surface")))
+                         F.explode(_gen_inflections(
+                             "name", F.coalesce("gender", F.lit(""))))
+                         .alias("surface")))
 
     direct = (base.select("kb_id", "type", "surface")
               .unionByName(variants)
@@ -214,6 +218,28 @@ def build_namelist(kb_scored: DataFrame,
                   F.max(F.col("is_fragment").cast("int")).cast("boolean").alias("is_fragment"),
               ))
     return merged
+
+
+def build_uri_namelist(kb_scored: DataFrame) -> DataFrame:
+    """URI automaton input (figa ``-u``, ``create_cedar.sh:149-150``;
+    ``KB2namelist.py:483-504`` ``process_uri``): every URI attribute value
+    → the owning KB rows, no fragments/stoplist (the reference skips both
+    for the URI variant, create_cedar.sh:158,172). Our KB carries one URI
+    column (``wiki_url``); additional URL columns union in the same way.
+    Output shape matches :func:`build_namelist` so the same automaton
+    builder compiles it."""
+    uris = (kb_scored
+            .select("kb_id", "confidence",
+                    F.col("wiki_url").alias("surface"))
+            .filter(F.coalesce(F.col("surface"), F.lit("")) != ""))
+    return (uris
+            .groupBy("surface")
+            .agg(F.array_distinct(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct((-F.coalesce("confidence", F.lit(0.0))).alias("negconf"),
+                             F.col("kb_id").alias("id")))),
+                lambda s: s["id"])).alias("kb_ids"),
+                F.lit(False).alias("is_fragment")))
 
 
 def build_subname_map(kb_scored: DataFrame) -> DataFrame:

@@ -93,8 +93,7 @@ def oracle_namelist(kb_rows: list[dict]) -> list[dict]:
         name = X.normalize_ws(r["name"])
         if base == "person":
             surfaces += X.person_variants(name)
-            from kglinker.data.wordlists import CZECH_INFLECTIONS
-            for f in X.czech_inflections(name, CZECH_INFLECTIONS):
+            for f in X.czech_inflections(name, r.get("gender") or ""):
                 surfaces += [f] + X.person_variants(f)
         elif base in ("organisation", "event"):
             surfaces += X.org_event_variants(name, base)

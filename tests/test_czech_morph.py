@@ -1,0 +1,133 @@
+"""G8 declension-generator goldens (r2 verdict demand #1).
+
+Two layers:
+
+1. The r2 HAND-CHECKED fixture corpus (formerly
+   ``kglinker.data.wordlists.CZECH_INFLECTIONS``, consumed as data until
+   r3) — the generator must REPRODUCE every one of those forms for every
+   corpus name, i.e. the corpus is now an assertion, not an input.
+2. Hand-verified full-set goldens for names OUTSIDE the old corpus
+   (standard public Czech declension: fleeting -e-, -a stems, adjectival
+   and -ová surnames, soft stems, indeclinable foreign words) — proving
+   the generator generalizes, which is exactly what the fixture approach
+   could not do.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kglinker.kb.czech_morph import czech_name_inflections, guess_gender
+
+# r2 hand-checked corpus (gender per the KB fixture rows)
+R2_CORPUS: list[tuple[str, str, list[str]]] = [
+    ("Jan Novák", "M",
+     ["Jana Nováka", "Janu Novákovi", "Janovi Novákovi", "Janem Novákem"]),
+    ("Petr Novák", "M",
+     ["Petra Nováka", "Petru Novákovi", "Petrovi Novákovi",
+      "Petrem Novákem"]),
+    ("Tomáš Garrigue Masaryk", "M",
+     ["Tomáše Garrigua Masaryka", "Tomáši Garriguovi Masarykovi",
+      "Tomášem Garriguem Masarykem"]),
+    ("Josef Švejk", "M",
+     ["Josefa Švejka", "Josefu Švejkovi", "Josefem Švejkem"]),
+    ("Marie Curie", "F", ["Marii Curie", "Marií Curie"]),
+    ("Ludwig van Beethoven", "M",
+     ["Ludwiga van Beethovena", "Ludwigu van Beethovenovi",
+      "Ludwigem van Beethovenem"]),
+    ("George Washington", "M",
+     ["George Washingtona", "Georgi Washingtonovi", "Georgem Washingtonem"]),
+    ("Johann Gottfried Bernhard Bach", "M",
+     ["Johanna Gottfrieda Bernharda Bacha",
+      "Johannem Gottfriedem Bernhardem Bachem"]),
+    ("Flannery O'Connor", "F",
+     ["Flannery O'Connorová", "Flannery O'Connorové"]),
+]
+
+
+@pytest.mark.parametrize("name,gender,forms",
+                         R2_CORPUS, ids=[c[0] for c in R2_CORPUS])
+def test_generator_reproduces_r2_corpus(name, gender, forms):
+    got = set(czech_name_inflections(name, gender))
+    missing = set(forms) - got
+    assert not missing, f"{name}: generator lost hand-checked forms {missing}"
+    # nominative itself never emitted; every emitted form differs from it
+    assert name not in got
+
+
+# full-set goldens OUTSIDE the old corpus (hand-verified standard Czech)
+NEW_GOLDENS: list[tuple[str, str, set[str]]] = [
+    ("Antonín Dvořák", "M",
+     {"Antonína Dvořáka", "Antonínu Dvořákovi", "Antonínovi Dvořákovi",
+      "Antonínem Dvořákem"}),
+    ("Karel Čapek", "M",      # fleeting -e-: Čapek → Čapk-
+     {"Karla Čapka", "Karlu Čapkovi", "Karlovi Čapkovi", "Karlem Čapkem"}),
+    ("Václav Havel", "M",     # fleeting -e- in -el after consonant
+     {"Václava Havla", "Václavu Havlovi", "Václavovi Havlovi",
+      "Václavem Havlem"}),
+    ("Božena Němcová", "F",   # žena given + -ová surname
+     {"Boženy Němcové", "Boženě Němcové", "Boženu Němcovou",
+      "Boženou Němcovou"}),
+    ("Milan Kundera", "M",    # předseda -a stem surname
+     {"Milana Kundery", "Milanu Kunderovi", "Milanovi Kunderovi",
+      "Milana Kunderu", "Milanem Kunderou"}),
+    ("Jan Novotný", "M",      # adjectival surname
+     {"Jana Novotného", "Janu Novotnému", "Janovi Novotnému",
+      "Janu Novotném", "Janovi Novotném", "Janem Novotným"}),
+    ("Eliška Krásnohorská", "F",  # k→c alternation + adjectival fem
+     {"Elišky Krásnohorské", "Elišce Krásnohorské", "Elišku Krásnohorskou",
+      "Eliškou Krásnohorskou"}),
+]
+
+
+@pytest.mark.parametrize("name,gender,expected",
+                         NEW_GOLDENS, ids=[c[0] for c in NEW_GOLDENS])
+def test_generator_beyond_fixture_exact(name, gender, expected):
+    assert set(czech_name_inflections(name, gender)) == expected
+
+
+def test_word_paradigm_details():
+    from kglinker.kb.czech_morph import decline_fem_word, decline_masc_word
+    # soft masc (muž)
+    d = decline_masc_word("Tomáš")
+    assert d["gen"] == ["Tomáše"] and d["instr"] == ["Tomášem"]
+    assert set(d["dat"]) == {"Tomáši", "Tomášovi"}
+    # mute -gue (hard on [g])
+    d = decline_masc_word("Garrigue")
+    assert d["gen"] == ["Garrigua"] and d["instr"] == ["Garriguem"]
+    # soft-read -ge: nominative = genitive (soudce-like)
+    d = decline_masc_word("George")
+    assert d["gen"] == ["George"] and "Georgi" in d["dat"]
+    # -ec fleeting + soft: Němec → Němce
+    d = decline_masc_word("Němec")
+    assert d["gen"] == ["Němce"] and d["instr"] == ["Němcem"]
+    # pronominal foreign -y: Harry → Harryho
+    d = decline_masc_word("Harry")
+    assert d["gen"] == ["Harryho"] and d["dat"] == ["Harrymu"]
+    # soft adjectival -í: Jiří → Jiřího
+    d = decline_masc_word("Jiří")
+    assert d["gen"] == ["Jiřího"] and d["instr"] == ["Jiřím"]
+    # fem -a with r→ř alternation
+    d = decline_fem_word("Klára", is_surname=False)
+    assert d["dat"] == ["Kláře"] and d["gen"] == ["Kláry"]
+    # fem consonant surname derives -ová; given name does not
+    d = decline_fem_word("O'Connor", is_surname=True)
+    assert "O'Connorové" in d["gen"] and d["nom_var"] == ["O'Connorová"]
+    assert decline_fem_word("Karin", is_surname=False)["gen"] == ["Karin"]
+
+
+def test_gender_guess_heuristic():
+    assert guess_gender("Božena Němcová") == "F"
+    assert guess_gender("Eliška Krásnohorská") == "F"
+    assert guess_gender("Marie Curie") == "F"
+    assert guess_gender("Jan Novák") == "M"
+    assert guess_gender("George Washington") == "M"
+
+
+def test_invariant_words():
+    # initials and name prepositions never inflect
+    forms = czech_name_inflections("T. G. Masaryk", "M")
+    assert "T. G. Masaryka" in forms
+    assert all(f.startswith("T. G. ") for f in forms)
+    # fully indeclinable names yield nothing rather than junk
+    assert czech_name_inflections("J. R. R.", "M") == []

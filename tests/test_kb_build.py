@@ -140,12 +140,14 @@ def test_settlement_country_variant():
                                  "Washington, United States is big.") == []
 
 
-def test_czech_inflection_stub():
-    import pytest
-    with pytest.raises(NotImplementedError):
-        X.czech_inflections("Jan Novák")
-    fx = {"Jan Novák": ["Jana Nováka", "Janu Novákovi"]}
-    assert X.czech_inflections("Jan Novák", fx) == ["Jana Nováka", "Janu Novákovi"]
+def test_czech_inflection_generator():
+    # G8 is generator-backed since r3 (kglinker/kb/czech_morph.py);
+    # full goldens in tests/test_czech_morph.py
+    forms = X.czech_inflections("Jan Novák", "M")
+    assert forms == ["Jana Nováka", "Janem Novákem",
+                     "Janovi Novákovi", "Janu Novákovi"]
+    # works for names no fixture ever listed
+    assert "Antonína Dvořáka" in X.czech_inflections("Antonín Dvořák", "M")
 
 
 def test_g6_in_namelist(artifacts):

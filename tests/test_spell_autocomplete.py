@@ -126,3 +126,45 @@ def test_flag_combinations_smoke(artifacts):
     assert any(r.surface == "Marie Curie" for r in rows)
     assert any(r.mention_type == "name" for r in rows)
     assert any(r.mention_type == "coref" for r in rows)
+
+
+def test_fold_accent_chars_properties():
+    """Length-preserving fold (r2 verdict demand #7): len never changes,
+    Czech diacritics fold to their base letter, non-1:1 decompositions
+    (ß, ligatures) stay themselves — property-tested over mixed-script
+    strings."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from kglinker.kb.expand import fold_accent_chars, remove_accent
+
+    @given(st.text(max_size=80))
+    def prop(s):
+        f = fold_accent_chars(s)
+        assert len(f) == len(s)
+        # folding is idempotent
+        assert fold_accent_chars(f) == f
+
+    prop()
+    assert fold_accent_chars("Tomáš Garrigue Masaryk") == "Tomas Garrigue Masaryk"
+    assert fold_accent_chars("Růžena Šťastná") == "Ruzena Stastna"
+    # non-1:1 decompositions preserved (remove_accent would change length)
+    assert fold_accent_chars("Straße ﬁt") == "Straße ﬁt"
+    assert len(remove_accent("Straße ﬁt")) != len("Straße ﬁt")
+    # mixed-script: untouched scripts stay identical
+    assert fold_accent_chars("Москва 東京 naïve") == "Москва 東京 naive"
+
+
+def test_accent_scan_never_degrades_on_length_changing_text():
+    """Text containing a ligature/ß used to knock the WHOLE turn back to
+    the exact automaton; with the per-char fold the accented entity still
+    matches accent-insensitively on the same turn."""
+    from kglinker.automaton.build import build_artifacts as _ba
+    kb = [dict(kb_id=1, type="person", name="Tomáš Novák", confidence=50.0,
+               wiki_url="https://w/1", **{**_KB_COLS, "gender": "M"})]
+    nl = [dict(surface="Tomáš Novák", kb_ids=[1], is_fragment=False)]
+    art = _ba(kb, nl, [], strip_accents=True)
+    t = "die Straße ﬁt well when Tomas Novak arrived ."
+    rows = annotate_conversation("c", [(0, t)], art, accent_insensitive=True)
+    assert [(r.surface, r.kb_id) for r in rows] == [("Tomas Novak", 1)]
+    assert t[rows[0].start:rows[0].end] == "Tomas Novak"
