@@ -48,7 +48,8 @@ from functools import lru_cache
 
 from kglinker.data.wordlists import NAME_PREPOSITIONS
 
-__all__ = ["decline_masc_word", "decline_fem_word", "czech_name_inflections",
+__all__ = ["decline_masc_word", "decline_fem_word", "decline_location_word",
+           "czech_name_inflections", "czech_location_inflections",
            "guess_gender"]
 
 CASES = ("gen", "dat", "acc", "loc", "instr")
@@ -179,6 +180,83 @@ def decline_fem_word(w: str, is_surname: bool) -> dict[str, list[str]]:
     return _invariant(w)
 
 
+def decline_location_word(w: str) -> dict[str, list[str]] | None:
+    """Case → alternatives for a single-word place name, or ``None`` when
+    no paradigm is RECOGNIZED (the conservative contract: emit nothing
+    rather than junk — the reference's namegen consults a morphological
+    dictionary; we decline only the unambiguous public paradigms):
+
+    - fem -a (Praha → Prahy / Praze / Prahu / Prahou, with the same
+      dat/loc consonant alternations as feminine given names),
+    - neuter -o (Brno → Brna / Brnu / Brně / Brnem),
+    - plural -ice (Budějovice → Budějovic / Budějovicím / Budějovicích /
+      Budějovicemi),
+    - fem -ň (Plzeň → Plzně, fleeting -e-; Třeboň → Třeboně),
+    - hard-consonant masc inanimate (Tábor → Tábora/Táboru, v Táboře;
+      Londýn → v Londýně; accusative = nominative).
+    """
+    lw = w.lower()
+    if not any(c in _VOWELS for c in lw) or w.isupper():
+        return None   # acronyms (TGM, USA) and vowel-less words stay put
+    if lw.endswith("ice") and len(lw) > 4:
+        s = w[:-1]
+        return {"gen": [w[:-1]], "dat": [s + "ím"], "acc": [w],
+                "loc": [s + "ích"], "instr": [s + "emi"]}
+    if lw.endswith("ia"):
+        return None   # Latinate/English exonym (Czechia, Austria) — the
+        # Czech text form is the -ie exonym below; don't fabricate -a forms
+    if lw.endswith("ie") and len(lw) > 3:
+        return decline_fem_word(w, is_surname=False)   # Anglie → Anglii
+    if lw.endswith("a"):
+        return decline_fem_word(w, is_surname=False)
+    if lw.endswith("o"):
+        s = w[:-1]
+        ls = lw[:-1]
+        alt = None
+        for suf, rep in _FEM_DAT_ALT:
+            if ls.endswith(suf):
+                alt = w[:-1 - len(suf)] + rep
+                break
+        loc = [s + "u"] + ([alt] if alt else [])
+        return {"gen": [s + "a"], "dat": [s + "u"], "acc": [w],
+                "loc": loc, "instr": [s + "em"]}
+    if lw.endswith("ň"):
+        s = w[:-2] if lw[-2] == "e" else w[:-1]
+        return {"gen": [s + "ně"], "dat": [s + "ni"], "acc": [w],
+                "loc": [s + "ni"], "instr": [s + "ní"]}
+    if lw[-1] not in _VOWELS and not lw.endswith(_SOFT_FINALS):
+        alt = None
+        for suf, rep in _FEM_DAT_ALT:
+            if lw.endswith(suf):
+                alt = w[:-len(suf)] + rep
+                break
+        loc = [w + "u"] + ([alt] if alt else [])
+        return {"gen": [w + "u", w + "a"], "dat": [w + "u"], "acc": [w],
+                "loc": loc, "instr": [w + "em"]}
+    return None
+
+
+def czech_location_inflections(name: str) -> list[str]:
+    """Oblique-case forms of a place name (nominative excluded), sorted.
+    Single-word names only — multi-word Czech toponyms ("Ústí nad Labem")
+    need the grammar parse the reference delegates to namegen's location
+    grammars; emitting nothing is the safe side of that trade."""
+    return list(_location_cached(name))
+
+
+@lru_cache(maxsize=8192)
+def _location_cached(name: str) -> tuple[str, ...]:
+    words = name.split(" ")
+    if len(words) != 1:
+        return ()
+    d = decline_location_word(words[0])
+    if d is None:
+        return ()
+    out = {f for alts in d.values() for f in alts}
+    out.discard(name)
+    return tuple(sorted(out))
+
+
 def guess_gender(name: str) -> str:
     """Heuristic for KB rows without a gender attribute (the reference's
     namegen guesses when the input omits the kind column, README.md of
@@ -195,6 +273,8 @@ def guess_gender(name: str) -> str:
 def _declinable(w: str) -> bool:
     return (len(w) >= 2 and w[0].isalpha()
             and not w.endswith(".")
+            and not w.isupper()                      # acronym aliases (TGM)
+            and any(c in _VOWELS for c in w.lower())
             and w.lower() not in NAME_PREPOSITIONS)
 
 

@@ -76,19 +76,26 @@ def _gen_subnames(name: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(_VARIANT_SCHEMA)
-def _gen_inflections(name: pd.Series, gender: pd.Series) -> pd.Series:
+def _gen_inflections(surface: pd.Series, etype: pd.Series,
+                     gender: pd.Series) -> pd.Series:
     """G8: Czech oblique-case forms from the declension generator
-    (kglinker/kb/czech_morph.py — the from-scratch namegen counterpart),
-    each treated as an additional key_inflection — the reference runs the
-    full variant generation per inflected form (KB2namelist.py main
-    loop)."""
+    (kglinker/kb/czech_morph.py — the from-scratch namegen counterpart).
+    Like the reference (czechnames runs over every key_inflection,
+    KB2namelist.py main loop), this applies to EVERY base surface (name,
+    aliases, redirects) — persons get full-name declension plus the
+    variant family per inflected form; location types get the
+    single-word place paradigms."""
+    from kglinker.kb.czech_morph import czech_location_inflections
     out = []
-    for n, g in zip(name, gender):
-        forms = X.czech_inflections(n, g or "")
+    for s, t, g in zip(surface, etype, gender):
+        base = t.split(":")[0] if t else ""
         acc: set[str] = set()
-        for f in forms:
-            acc.add(f)
-            acc.update(X.person_variants(f))
+        if base == "person":
+            for f in X.czech_inflections(s, g or ""):
+                acc.add(f)
+                acc.update(X.person_variants(f))
+        elif base in ("settlement", "country", "watercourse", "geo"):
+            acc.update(czech_location_inflections(s))
         out.append(sorted(acc))
     return pd.Series(out)
 
@@ -140,14 +147,18 @@ def build_namelist(kb_scored: DataFrame,
                             F.coalesce("source_loc", F.lit("")),
                             F.coalesce("description", F.lit("")))).alias("surface")))
 
-    # G8 Czech inflections (generator-backed since r3) for persons — the
-    # reference's create_cedar.sh:136-142 runs namegen in its default
-    # dictionary build
+    # G8 Czech inflections (generator-backed since r3) for persons AND
+    # locations, over every base surface (name/aliases/redirects) — the
+    # reference's create_cedar.sh:136-142 runs namegen over all
+    # key_inflections in its default dictionary build
     persons = kb_scored.filter(F.col("type").startswith("person"))
-    inflected = (persons
+    gender = kb_scored.select(
+        "kb_id", F.coalesce("gender", F.lit("")).alias("_gender"))
+    inflected = (base
+                 .join(F.broadcast(gender), "kb_id")
                  .select("kb_id", "type",
                          F.explode(_gen_inflections(
-                             "name", F.coalesce("gender", F.lit(""))))
+                             "surface", "type", "_gender"))
                          .alias("surface")))
 
     direct = (base.select("kb_id", "type", "surface")

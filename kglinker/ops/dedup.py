@@ -103,7 +103,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
 def simhash_signatures(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): bit j votes +1 if nibble j of md5(token) ≥ 8.
     Signature = Σ_j bit_j(majority) * 2^j, engine-agnostic via hex-char
-    arithmetic (no native 64-bit hash dependence)."""
+    arithmetic (no native 64-bit hash dependence). ``bits`` ≤ 32 (one
+    md5 hex nibble per bit); for a 64-bit production signature swap the
+    per-token hash for sha2(tok, 256) — the voting/banding structure is
+    bit-width agnostic."""
+    if not 1 <= bits <= 32:
+        raise ValueError("bits must be in [1, 32] (md5 has 32 nibbles)")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("tok")) \
               .withColumn("h", F.md5("tok"))
     # nibble j ≥ 8 ⟺ hex char ∈ 89abcdef

@@ -93,8 +93,11 @@ def oracle_namelist(kb_rows: list[dict]) -> list[dict]:
         name = X.normalize_ws(r["name"])
         if base == "person":
             surfaces += X.person_variants(name)
-            for f in X.czech_inflections(name, r.get("gender") or ""):
-                surfaces += [f] + X.person_variants(f)
+            # G8 over every base surface (name/aliases/redirects), like
+            # the reference's czechnames pass over all key_inflections
+            for s0 in _base_surfaces(r):
+                for f in X.czech_inflections(s0, r.get("gender") or ""):
+                    surfaces += [f] + X.person_variants(f)
         elif base in ("organisation", "event"):
             surfaces += X.org_event_variants(name, base)
         elif base == "settlement":
@@ -103,6 +106,11 @@ def oracle_namelist(kb_rows: list[dict]) -> list[dict]:
         elif base == "watercourse":
             surfaces += X.settlement_variants(name, r.get("source_loc") or "",
                                               r.get("description") or "")
+        if base in ("settlement", "country", "watercourse", "geo"):
+            # G8 location declension over every base surface
+            from kglinker.kb.czech_morph import czech_location_inflections
+            for s0 in _base_surfaces(r):
+                surfaces += czech_location_inflections(s0)
         for s in surfaces:
             if not X.is_unsuitable(s, t, allow):
                 rows.append((s, kb_id, False))

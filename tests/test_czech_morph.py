@@ -131,3 +131,29 @@ def test_invariant_words():
     assert all(f.startswith("T. G. ") for f in forms)
     # fully indeclinable names yield nothing rather than junk
     assert czech_name_inflections("J. R. R.", "M") == []
+
+
+# location declension (the reference's namegen runs over locations too —
+# grammar_locations.txt; czechnames README: "jmen osob a lokací")
+LOCATION_GOLDENS: list[tuple[str, set[str]]] = [
+    ("Praha", {"Prahy", "Praze", "Prahu", "Prahou"}),
+    ("Brno", {"Brna", "Brnu", "Brně", "Brnem"}),
+    ("Plzeň", {"Plzně", "Plzni", "Plzní"}),
+    ("Třeboň", {"Třeboně", "Třeboni", "Třeboní"}),
+    ("Budějovice", {"Budějovic", "Budějovicím", "Budějovicích",
+                    "Budějovicemi"}),
+    ("Tábor", {"Tábora", "Táboru", "Táboře", "Táborem"}),
+    ("Londýn", {"Londýna", "Londýnu", "Londýně", "Londýnem"}),
+    ("Vltava", {"Vltavy", "Vltavě", "Vltavu", "Vltavou"}),
+    ("Anglie", {"Anglii", "Anglií"}),
+    # conservative contract: unrecognized patterns emit NOTHING
+    ("Prague", set()), ("Germany", set()), ("Czechia", set()),
+    ("United States", set()), ("TGM", set()),
+]
+
+
+@pytest.mark.parametrize("name,expected", LOCATION_GOLDENS,
+                         ids=[c[0] for c in LOCATION_GOLDENS])
+def test_location_inflections(name, expected):
+    from kglinker.kb.czech_morph import czech_location_inflections
+    assert set(czech_location_inflections(name)) == expected

@@ -67,3 +67,18 @@ def test_generated_forms_reach_namelist(g8_artifacts):
                            ("Boženu Němcovou", 3), ("Jana Novotného", 4)]:
         got = a.get(surface)
         assert got is not None and kb_id in got[0], surface
+
+
+def test_location_oblique_mentions_link(spark, artifacts):
+    """Inflected Czech place mentions (locations run through namegen in
+    the reference build too) link via the standard fixture KB: Praha is
+    an ALIAS of Prague (kb 12) — alias surfaces inflect as well."""
+    from kglinker.extract.matcher import annotate_conversation
+    rows = annotate_conversation("c0", [
+        (0, "jeli jsme do Prahy kolem Vltavy ."),
+        (1, "bydleli jsme v Brně u řeky ."),
+    ], artifacts)
+    kb_rows = {(r.surface, r.kb_id) for r in rows if r.mention_type == "kb"}
+    assert ("Prahy", 12) in kb_rows
+    assert ("Vltavy", 19) in kb_rows
+    assert ("Brně", 15) in kb_rows
