@@ -48,10 +48,14 @@ def _empty_out() -> pd.DataFrame:
 
 
 def annotate_sorted_arrays(conv_ids, turn_idxs, texts, art,
-                           detect_unknown_names: bool = False) -> list[tuple]:
+                           detect_unknown_names: bool = False,
+                           **matcher_flags) -> list[tuple]:
     """Fast path: rows already sorted by (conv_id, turn_idx). Iterates raw
     arrays (no pandas groupby), calling the per-conversation core at each
-    conv boundary."""
+    conv boundary. ``matcher_flags`` pass through to
+    :func:`annotate_conversation` (case_insensitive / spellcheck /
+    accent_insensitive / uri_matching — the figa ``-l``/``-s``/
+    ``--remove_accent``/``-u`` opt-ins)."""
     rows: list[tuple] = []
     n = len(conv_ids)
     i = 0
@@ -63,7 +67,8 @@ def annotate_sorted_arrays(conv_ids, turn_idxs, texts, art,
             turns.append((int(turn_idxs[j]), texts[j]))
             j += 1
         for r in annotate_conversation(str(conv), turns, art,
-                                       detect_unknown_names):
+                                       detect_unknown_names,
+                                       **matcher_flags):
             rows.append((r.conv_id, r.turn_idx, r.start, r.end,
                          r.mention_type, r.surface, r.kb_id, r.resolved))
         i = j
@@ -71,21 +76,23 @@ def annotate_sorted_arrays(conv_ids, turn_idxs, texts, art,
 
 
 def annotate_pdf(pdf: pd.DataFrame, art,
-                 detect_unknown_names: bool = False) -> pd.DataFrame:
+                 detect_unknown_names: bool = False,
+                 **matcher_flags) -> pd.DataFrame:
     """Annotate a pandas frame holding whole conversations (single-process
     oracle entry point — identical core to the executors)."""
     pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     rows = annotate_sorted_arrays(pdf["conv_id"].to_numpy(),
                                   pdf["turn_idx"].to_numpy(),
                                   pdf["text"].to_numpy(), art,
-                                  detect_unknown_names)
+                                  detect_unknown_names, **matcher_flags)
     return pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
 
 
 def extract_mentions(transcripts: DataFrame, artifacts_bcast,
                      num_partitions: int | None = None,
                      detect_unknown_names: bool = False,
-                     assume_clustered: bool = False) -> DataFrame:
+                     assume_clustered: bool = False,
+                     **matcher_flags) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) → mentions.
 
     ``artifacts_bcast``: broadcast from
@@ -130,14 +137,16 @@ def extract_mentions(transcripts: DataFrame, artifacts_bcast,
                 rows = annotate_sorted_arrays(head["conv_id"].to_numpy(),
                                               head["turn_idx"].to_numpy(),
                                               head["text"].to_numpy(), art,
-                                              detect_unknown_names)
+                                              detect_unknown_names,
+                                              **matcher_flags)
                 yield pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
         if carry is not None and len(carry):
             rows = annotate_sorted_arrays(carry["conv_id"].to_numpy(),
                                           carry["turn_idx"].to_numpy(),
                                           carry["text"].to_numpy(),
                                           artifacts_bcast.value,
-                                          detect_unknown_names)
+                                          detect_unknown_names,
+                                          **matcher_flags)
             yield pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
 
     src = transcripts.select("conv_id", "turn_idx", "text")

@@ -65,3 +65,28 @@ def test_uri_hit_wins_over_covered_name_match(uri_artifacts):
                                  uri_matching=True)
     surfaces = [r.surface for r in rows if r.mention_type == "kb"]
     assert surfaces == ["https://wiki.example/Prague"]
+
+
+def test_flags_plumb_through_distributed_stage(spark, kb_scored):
+    """The figa opt-in flags ride through the mapInPandas stage, not just
+    the single-conversation core."""
+    from kglinker.extract.stage import extract_mentions
+    from kglinker.kb.names import (build_namelist, build_subname_map,
+                                   build_uri_namelist)
+    from kglinker.automaton.build import KB_PROJECTION_COLS, build_artifacts
+    nl = build_namelist(kb_scored)
+    sub = build_subname_map(kb_scored)
+    uri = build_uri_namelist(kb_scored)
+    art = build_artifacts(
+        [r.asDict() for r in kb_scored.select(*KB_PROJECTION_COLS).collect()],
+        [r.asDict() for r in nl.collect()],
+        [r.asDict() for r in sub.collect()],
+        uri_rows=[r.asDict() for r in uri.collect()])
+    bc = spark.sparkContext.broadcast(art)
+    tdf = spark.createDataFrame(
+        [("c1", 0, "viz https://wiki.example/Prague zde .")],
+        "conv_id string, turn_idx int, text string")
+    got = extract_mentions(tdf, bc, num_partitions=2,
+                           uri_matching=True).collect()
+    assert [(r.surface, r.kb_id) for r in got if r.mention_type == "kb"] == [
+        ("https://wiki.example/Prague", 12)]
