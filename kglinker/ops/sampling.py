@@ -1,0 +1,70 @@
+"""Training-data curation operators: decontamination + deterministic
+sampling. Both are pure column pipelines (no UDF, no collect) designed
+for the 100 TB corpus side.
+
+- :func:`ngram_contamination` — train/test decontamination: flag corpus
+  documents sharing ≥1 token n-gram with any benchmark document (the
+  standard 8–13-gram overlap check LLM training pipelines run before a
+  corpus ships). Candidates come from a gram-key equijoin — the benchmark
+  side is tiny relative to the corpus, so Spark broadcast-converts it;
+  never all-pairs.
+- :func:`hash_sample` — deterministic per-stratum sampling by content
+  hash: keep a row iff the first 4 hex nibbles of md5(key) fall under
+  the stratum's fraction. No RNG state, reproducible across engines and
+  re-runs (the property a resumable pipeline needs — re-sampling after a
+  resume must keep the SAME rows), and shuffle-free (a pure filter that
+  pushes nothing but md5 work into the scan stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kglinker.ops.util import explode_token_ngrams
+
+__all__ = ["ngram_contamination", "hash_sample"]
+
+
+def ngram_contamination(docs: DataFrame, bench: DataFrame,
+                        n: int = 8) -> DataFrame:
+    """(doc_id, bench_id, n_shared): corpus documents sharing ≥1 distinct
+    token ``n``-gram with a benchmark document (self-pairs excluded when
+    ids collide). ``bench`` needs (bench_id, text).
+
+    Plan: distinct grams per side → gram equijoin (benchmark side is the
+    small build side → broadcast hash join at any realistic benchmark
+    size) → count per (doc, bench) pair. The corpus side is one scan +
+    one aggregation; corpus bytes never self-join."""
+    dg = explode_token_ngrams(docs, n, ["doc_id"]).distinct()
+    bg = (explode_token_ngrams(
+            bench.select(F.col("bench_id").alias("doc_id"), "text"), n,
+            ["doc_id"])
+          .distinct()
+          .select(F.col("doc_id").alias("bench_id"), F.col("g").alias("bg")))
+    return (dg.join(F.broadcast(bg), (F.col("g") == F.col("bg"))
+                    & (F.col("doc_id") != F.col("bench_id")))
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def hash_sample(docs: DataFrame, fractions: dict[str, float],
+                stratum_col: str = "lang",
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sample: keep a row iff
+    ``int(md5(key)[:4], 16) < fraction(stratum) * 65536``.
+
+    ``fractions``: stratum value → keep fraction in [0, 1]; strata not
+    listed are DROPPED (explicit mixes only — silence is not a sampling
+    decision). md5 of the row key makes the decision a pure function of
+    the row, so re-runs, resumes, and other engines (the DuckDB oracle)
+    select the identical row set."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4),
+                    16, 10).cast("long")
+    frac = None
+    for k in sorted(fractions):
+        cond = F.col(stratum_col) == k
+        thr = F.lit(int(fractions[k] * 65536))
+        frac = F.when(cond, thr) if frac is None else frac.when(cond, thr)
+    frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
+    return docs.filter(bucket < frac)

@@ -1,0 +1,64 @@
+"""Curation operators: decontamination + deterministic sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kglinker.ops.sampling import hash_sample, ngram_contamination
+
+
+def _docs(spark):
+    rows = [
+        (0, "a b c d e f g h i j", "en"),
+        (1, "a b c d e f g h i j", "en"),          # exact dup of 0
+        (2, "x a b c d e f g h i j y", "en"),      # contains 0's 8-grams
+        (3, "totally different text with no shared eight gram run here", "de"),
+        (4, "a b c d e f g X i j", "fr"),          # breaks every 8-gram? no:
+                                                   # 'a b c d e f g X' differs
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_ngram_contamination_exact(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") == 0) \
+                .select(F.col("doc_id").alias("bench_id"), "text")
+    got = {(r["doc_id"], r["bench_id"]): r["n_shared"]
+           for r in ngram_contamination(docs, bench, n=8).collect()}
+    # doc 0 has 3 distinct 8-grams; doc 1 shares all 3; doc 2 contains the
+    # full token run so it also shares all 3; docs 3/4 share none
+    assert got == {(1, 0): 3, (2, 0): 3}
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    n = 4000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"))
+    fr = {"en": 0.5, "de": 0.1}
+    a = {r["doc_id"] for r in hash_sample(docs, fr).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, fr).select("doc_id").collect()}
+    assert a == b and a                      # run-to-run identical
+    # per-stratum rate within ±15% of the target (md5 is uniform)
+    en = sum(1 for i in a if i % 2 == 0) / (n / 2)
+    de = sum(1 for i in a if i % 2 == 1) / (n / 2)
+    assert abs(en - 0.5) < 0.075 and abs(de - 0.1) < 0.03, (en, de)
+    # unlisted strata are dropped entirely
+    only_en = hash_sample(docs, {"en": 1.0})
+    assert only_en.filter(F.col("lang") == "de").count() == 0
+    assert only_en.count() == n / 2
+
+
+def test_hash_sample_monotone_fractions(spark):
+    """A row kept at fraction f stays kept at any f' > f (the bucket
+    threshold is monotone) — the property that lets a pipeline GROW a
+    sample without resampling the old rows."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"),
+        F.lit("en").alias("lang"))
+    small = {r["doc_id"] for r in
+             hash_sample(docs, {"en": 0.2}).select("doc_id").collect()}
+    big = {r["doc_id"] for r in
+           hash_sample(docs, {"en": 0.6}).select("doc_id").collect()}
+    assert small < big
