@@ -129,13 +129,20 @@ def _base_surfaces(kb: DataFrame) -> DataFrame:
 
 
 def build_namelist(kb_scored: DataFrame,
-                   word_freq: DataFrame | None = None) -> DataFrame:
+                   word_freq: DataFrame | None = None,
+                   inflection_min_confidence: float | None = None) -> DataFrame:
     """KB (with ``confidence``) → namelist
     ``(surface, kb_ids: array<long> conf-desc-ordered, is_fragment: bool)``.
 
     ``word_freq`` (optional ``(word, freq)``) gates G10 bare-surname direct
     entries by capital dominance (KB2namelist.py:452-474); when absent every
     capitalized surname is treated as dominant.
+
+    ``inflection_min_confidence``: optional floor — rows below it skip G8
+    declension generation (their nominative surfaces still enter). The
+    payload-size lever for reference-scale KBs (BENCH/BASELINE.md
+    §KB-build scale probe): oblique forms of sub-threshold rows rarely
+    win disambiguation, and G8 multiplies the surface count ~4×.
     """
     base = _base_surfaces(kb_scored)
 
@@ -152,7 +159,11 @@ def build_namelist(kb_scored: DataFrame,
     # reference's create_cedar.sh:136-142 runs namegen over all
     # key_inflections in its default dictionary build
     persons = kb_scored.filter(F.col("type").startswith("person"))
-    gender = kb_scored.select(
+    infl_rows = kb_scored
+    if inflection_min_confidence is not None:
+        infl_rows = kb_scored.filter(
+            F.col("confidence") >= float(inflection_min_confidence))
+    gender = infl_rows.select(
         "kb_id", F.coalesce("gender", F.lit("")).alias("_gender"))
     inflected = (base
                  .join(F.broadcast(gender), "kb_id")

@@ -157,3 +157,41 @@ LOCATION_GOLDENS: list[tuple[str, set[str]]] = [
 def test_location_inflections(name, expected):
     from kglinker.kb.czech_morph import czech_location_inflections
     assert set(czech_location_inflections(name)) == expected
+
+
+def test_generator_structural_properties():
+    """Hypothesis properties over synthesized names: every emitted form is
+    non-empty, differs from the nominative, preserves the word count, and
+    keeps invariant tokens (prepositions, initials) byte-identical."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    syl = st.sampled_from(["ba", "ce", "di", "fo", "gu", "no", "vá", "řa"])
+    surname = st.builds(lambda a, b, c, suf: (a + b + c).capitalize() + suf,
+                        syl, syl, syl,
+                        st.sampled_from(["k", "r", "š", "a", "ec", "ek",
+                                         "ý", "ová", "á"]))
+    given_name = st.sampled_from(["Jan", "Marie", "Tomáš", "Eva", "Karel",
+                                  "Anna", "Jiří", "van", "J."])
+    name_s = st.builds(lambda g, s: f"{g} {s}", given_name, surname)
+
+    @settings(max_examples=150, deadline=None)
+    @given(name_s, st.sampled_from(["M", "F", ""]))
+    def prop(name, gender):
+        forms = czech_name_inflections(name, gender)
+        words = name.split(" ")
+        for f in forms:
+            assert f and f != name
+            fw = f.split(" ")
+            assert len(fw) == len(words)
+            assert all(w2 for w2 in fw)
+            for w0, w2 in zip(words, fw):
+                if w0.endswith(".") or w0.lower() in ("van",):
+                    assert w2 == w0          # invariant tokens untouched
+                else:
+                    # inflected words keep the original's first character
+                    assert w2[0] == w0[0]
+        # deterministic (lru_cache or not)
+        assert czech_name_inflections(name, gender) == forms
+
+    prop()

@@ -172,3 +172,21 @@ def test_g8_inflected_mention_links(artifacts):
         "c0", [(0, "mluvili jsme o Janu Novákovi a hudbě .")], artifacts)
     assert [(r.surface, r.kb_id) for r in rows if r.mention_type == "kb"] == [
         ("Janu Novákovi", 6)]
+
+
+def test_inflection_confidence_prune(spark, kb_scored):
+    """Payload-size lever: rows below inflection_min_confidence keep their
+    nominative surfaces but skip G8 declension generation."""
+    from kglinker.kb.names import build_namelist
+    confs = {r["kb_id"]: r["confidence"]
+             for r in kb_scored.select("kb_id", "confidence").collect()}
+    # pick a floor between the Novák pair's confidences and TGM's
+    full = build_namelist(kb_scored)
+    pruned = build_namelist(kb_scored,
+                            inflection_min_confidence=confs[1])  # TGM's
+    f = {r["surface"] for r in full.collect()}
+    p = {r["surface"] for r in pruned.collect()}
+    assert p < f
+    assert "Tomáše Garrigua Masaryka" in p          # TGM row kept
+    assert "Jana Nováka" in f and "Jana Nováka" not in p   # low-conf pruned
+    assert "Jan Novák" in p                          # nominative stays
