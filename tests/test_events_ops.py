@@ -1,0 +1,82 @@
+"""Sessionization + as-of join semantics (ops/events.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kglinker.ops.events import asof_join, sessionize
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+
+
+def test_sessionize_gap_semantics(spark):
+    t = datetime(2024, 1, 1)
+    rows = [
+        (0, t.replace(minute=0), 1, "a"),
+        (1, t.replace(minute=10), 1, "a"),       # 10 min → same session
+        (2, t.replace(minute=40), 1, "a"),       # exactly 30:00 gap → SAME
+        (3, t.replace(hour=2), 1, "a"),          # 80 min → new session
+        (4, t.replace(minute=5), 2, "a"),        # other user independent
+    ]
+    got = {r["event_id"]: r["session_seq"]
+           for r in sessionize(_ev(spark, rows), gap_minutes=30).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_boundary_is_strict(spark):
+    t = datetime(2024, 1, 1)
+    rows = [(0, t, 1, "a"),
+            (1, t.replace(minute=30, second=0, microsecond=1), 1, "a")]
+    got = {r["event_id"]: r["session_seq"]
+           for r in sessionize(_ev(spark, rows), gap_minutes=30).collect()}
+    assert got == {0: 1, 1: 2}   # one microsecond past the gap → new session
+
+
+def test_asof_backward_semantics(spark):
+    t = datetime(2024, 1, 1)
+    left = _ev(spark, [
+        (10, t.replace(hour=1), 1, "purchase"),
+        (11, t.replace(hour=3), 1, "purchase"),
+        (12, t.replace(minute=1), 2, "purchase"),   # before any signup
+    ])
+    right = _ev(spark, [
+        (20, t.replace(minute=30), 1, "signup"),
+        (21, t.replace(hour=2), 1, "signup"),
+        (22, t.replace(hour=1), 2, "signup"),
+        (23, t.replace(hour=1), 1, "signup"),       # EXACTLY at left 10's ts
+    ])
+    got = {r["event_id"]: r["asof_id"]
+           for r in asof_join(left, right).collect()}
+    # left 10 at 01:00: right 23 is simultaneous → inclusive match wins
+    # over the earlier 20; left 11 at 03:00 takes the latest (21);
+    # left 12 has no prior right in its group → NULL
+    assert got == {10: 23, 11: 21, 12: None}
+
+
+def test_asof_tie_on_right_ts_takes_max_id(spark):
+    t = datetime(2024, 1, 1)
+    left = _ev(spark, [(10, t.replace(hour=1), 1, "p")])
+    right = _ev(spark, [(20, t.replace(minute=5), 1, "s"),
+                        (25, t.replace(minute=5), 1, "s")])
+    got = asof_join(left, right).collect()
+    assert got[0]["asof_id"] == 25
+
+
+def test_asof_plan_has_no_join(spark):
+    """The union-tag formulation must compile to window-over-union — zero
+    join operators (the naive range join would be a nested loop)."""
+    import contextlib
+    import io
+    t = datetime(2024, 1, 1)
+    left = _ev(spark, [(10, t, 1, "p")])
+    right = _ev(spark, [(20, t, 1, "s")])
+    df = asof_join(left, right)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Join" not in buf.getvalue()
