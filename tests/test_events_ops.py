@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
@@ -80,3 +80,37 @@ def test_asof_plan_has_no_join(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "Join" not in buf.getvalue()
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """Cross-validation against Spark's own session_window (the Structured
+    Streaming-native formulation): away from the exact-gap boundary (where
+    the conventions differ by documented design: lag-based keeps a
+    diff == gap event in the session, session_window starts a new one),
+    both must induce the SAME partition of events into sessions."""
+    from pyspark.sql import functions as F
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    # deterministic event times: minutes derived from md5, never exactly
+    # on the 30-min gap boundary
+    import hashlib
+    for user in range(1, 6):
+        t_min = 0
+        for k in range(40):
+            step = int(hashlib.md5(f"{user}:{k}".encode()).hexdigest()[:4],
+                       16) % 70 + 1   # 1..70 minutes
+            step = step + 1 if step == 30 else step  # dodge the exact boundary
+            t_min += step
+            rows.append((eid, base + timedelta(minutes=t_min), user, "a"))
+            eid += 1
+    ev = _ev(spark, rows)
+    ours = sessionize(ev, gap_minutes=30)
+    ours_sessions = (ours.groupBy("user_id", "session_seq")
+                     .agg(F.sort_array(F.collect_list("event_id")).alias("ids")))
+    builtin = (ev.groupBy("user_id",
+                          F.session_window("ts", "30 minutes").alias("w"))
+               .agg(F.sort_array(F.collect_list("event_id")).alias("ids")))
+    a = {tuple(r["ids"]) for r in ours_sessions.collect()}
+    b = {tuple(r["ids"]) for r in builtin.collect()}
+    assert a == b and len(a) > 10
