@@ -118,3 +118,15 @@ def test_edges_partition_pruning(spark, tmp_path, artifacts_bcast, kb_scored):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "kb_uri" in plan
     assert q.count() > 0
+
+
+def test_pagerank_star_graph(spark):
+    """On a star, the hub out-ranks the leaves and mass stays ~1."""
+    from kglinker.graph.analytics import pagerank
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)] + [(1, 2)], "src long, dst long")
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert pr[0] == max(pr.values())
+    assert pr[3] == pr[4] == pr[5]          # symmetric leaves equal
+    assert pr[1] > pr[3]                     # extra edge → extra rank
+    assert abs(sum(pr.values()) - 1.0) < 0.01
