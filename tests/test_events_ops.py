@@ -114,3 +114,35 @@ def test_sessionize_matches_builtin_session_window(spark):
     a = {tuple(r["ids"]) for r in ours_sessions.collect()}
     b = {tuple(r["ids"]) for r in builtin.collect()}
     assert a == b and len(a) > 10
+
+
+def test_asof_matches_bruteforce_property(spark):
+    """Property check over a dense random-ish event set (md5-derived, no
+    RNG): the union-tag window as-of equals the brute-force definition
+    'latest right with ts <= left.ts, max-id tiebreak' for every left
+    row, including duplicate timestamps within and across sides."""
+    import hashlib
+
+    def h(tag):
+        return int(hashlib.md5(tag.encode()).hexdigest()[:6], 16)
+
+    lefts, rights = [], []
+    eid = 0
+    for user in range(1, 5):
+        for k in range(30):
+            # coarse minute grid → plenty of exact ts collisions
+            t = datetime(2024, 1, 1) + timedelta(minutes=h(f"L{user}:{k}") % 40)
+            lefts.append((eid, t, user, "l")); eid += 1
+        for k in range(20):
+            t = datetime(2024, 1, 1) + timedelta(minutes=h(f"R{user}:{k}") % 40)
+            rights.append((eid, t, user, "r")); eid += 1
+    got = {r["event_id"]: r["asof_id"]
+           for r in asof_join(_ev(spark, lefts), _ev(spark, rights)).collect()}
+    by_user = {}
+    for rid, ts, user, _ in rights:
+        by_user.setdefault(user, []).append((ts, rid))
+    for lid, ts, user, _ in lefts:
+        cands = [(rts, rid) for rts, rid in by_user.get(user, [])
+                 if rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
