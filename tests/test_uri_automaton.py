@@ -90,3 +90,19 @@ def test_flags_plumb_through_distributed_stage(spark, kb_scored):
                            uri_matching=True).collect()
     assert [(r.surface, r.kb_id) for r in got if r.mention_type == "kb"] == [
         ("https://wiki.example/Prague", 12)]
+
+
+def test_uri_probe_fallback_at_scale(spark):
+    """Hundreds of URIs share the first token ("https") → the scan must
+    take the trie longest-match path (probe lists are capped at 64), and
+    prefix URIs must not shadow longer ones."""
+    from kglinker.automaton.build import Automaton
+    entries = {f"https://w.example/E{i:04d}": ((i,), False)
+               for i in range(300)}
+    entries["https://w.example/E0007/extra"] = ((999,), False)
+    a = Automaton(entries)
+    text = "viz https://w.example/E0007/extra a https://w.example/E0123 ."
+    ms = a.find_matches(text)
+    assert [(m.surface, m.kb_ids) for m in ms] == [
+        ("https://w.example/E0007/extra", (999,)),
+        ("https://w.example/E0123", (123,))]
