@@ -101,23 +101,27 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """(doc_id, simhash): bit j votes +1 if nibble j of md5(token) ≥ 8.
+    """(doc_id, simhash): bit j votes +1 if nibble j of hash(token) ≥ 8.
     Signature = Σ_j bit_j(majority) * 2^j, engine-agnostic via hex-char
-    arithmetic (no native 64-bit hash dependence). ``bits`` ≤ 32 (one
-    md5 hex nibble per bit); for a 64-bit production signature swap the
-    per-token hash for sha2(tok, 256) — the voting/banding structure is
-    bit-width agnostic."""
-    if not 1 <= bits <= 32:
-        raise ValueError("bits must be in [1, 32] (md5 has 32 nibbles)")
+    arithmetic (no native 64-bit hash dependence). Per-token hash:
+    ``md5`` for ``bits`` ≤ 32 (legacy / r3-gate parity), ``sha2(tok, 256)``
+    for 33–64 (64 hex nibbles → full production width). Bit 63 is the
+    two's-complement sign bit: its term is −2^63, so the signature lands
+    in a signed 64-bit ``long`` on both engines; block extraction masks
+    after the shift, which makes arithmetic-vs-logical shift moot."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64] (sha-256 has 64 nibbles)")
+    h = F.md5("tok") if bits <= 32 else F.sha2(F.col("tok"), 256)
     tok = docs.select("doc_id", F.explode(_tokens()).alias("tok")) \
-              .withColumn("h", F.md5("tok"))
+              .withColumn("h", h)
     # nibble j ≥ 8 ⟺ hex char ∈ 89abcdef
     hi = list("89abcdef")
     votes = [F.sum(F.when(F.substring("h", j + 1, 1).isin(hi), 1)
                    .otherwise(-1)).alias(f"v{j}")
              for j in range(bits)]
     agg = tok.groupBy("doc_id").agg(*votes)
-    sim = sum(F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+    sim = sum(F.when(F.col(f"v{j}") > 0,
+                     F.lit(-(1 << 63) if j == 63 else (1 << j))).otherwise(0)
               for j in range(bits))
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
@@ -132,10 +136,13 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, k: int = 3) -> DataFrame:
     distance ≤ k agrees EXACTLY on at least one block, so candidates come
     from k+1 block-value equijoins (linear candidate generation on
     hash-uniform data — never all-pairs), and the exact Hamming distance
-    is verified in-row with popcount(xor). At production 64-bit/k=3 this
-    is 4 equijoins on 16-bit block keys; a pathological block value
-    (thousands of identical docs) is the hot-key case AQE skew-split
-    handles."""
+    is verified in-row with popcount(xor). At the production 64-bit/k=3
+    width (the registered gate) this is 4 equijoins on 16-bit block keys —
+    65,536 buckets per block, so candidate volume stays linear on a web
+    corpus; a pathological block value (thousands of identical docs) is
+    the hot-key case AQE skew-split handles. Signatures may be negative
+    (bit 63 = sign bit): ``shiftright`` is arithmetic, but the mask keeps
+    only the block's low bits, which shift direction cannot change."""
     n_blocks = k + 1
     base = bits // n_blocks
     rem = bits % n_blocks

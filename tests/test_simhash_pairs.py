@@ -25,21 +25,52 @@ def _docs(spark):
         rows, "doc_id long, text string, lang string, source string, n_chars int")
 
 
-@pytest.mark.parametrize("bits,k", [(16, 3), (16, 2), (24, 3)])
+def _ham(a: int, b: int) -> int:
+    # signatures are signed 64-bit (bit 63 = sign bit): mask the XOR to the
+    # two's-complement bit pattern before popcount
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+@pytest.mark.parametrize("bits,k", [(16, 3), (16, 2), (24, 3),
+                                    (64, 3), (40, 3)])
 def test_simhash_pairs_equal_bruteforce(spark, bits, k):
     docs = _docs(spark)
     sigs = {r["doc_id"]: r["simhash"]
             for r in simhash_signatures(docs, bits).collect()}
     ids = sorted(sigs)
-    truth = {(a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+    truth = {(a, b, _ham(sigs[a], sigs[b]))
              for i, a in enumerate(ids) for b in ids[i + 1:]
-             if bin(sigs[a] ^ sigs[b]).count("1") <= k}
+             if _ham(sigs[a], sigs[b]) <= k}
     got = {(r["doc_a"], r["doc_b"], r["hamming"])
            for r in simhash_pairs(docs, bits, k).collect()}
     assert got == truth
     if k >= 2:
         # the doc-5 exact copy of doc 0 must pair at distance 0
         assert (0, 5, 0) in got
+
+
+def test_simhash_64bit_uses_sign_bit(spark):
+    """The 64-bit sha2 path must populate bit 63 (negative signatures) on
+    at least some docs, and Spark/DuckDB must agree bit-for-bit — the
+    production width is only real if the sign bit actually carries data."""
+    import duckdb
+    docs = _docs(spark)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, 64).collect()}
+    assert any(s < 0 for s in sigs.values()), \
+        "no signature uses bit 63 — width is not really 64"
+    from kglinker.queries import _sql_simbits, _sql_votes
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, sha256(tok) AS h FROM toks),
+    v AS (SELECT doc_id, {_sql_votes(64)} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_sql_simbits(64)} AS BIGINT) AS simhash FROM v"""
+    duck = {int(r[0]): int(r[1]) for r in con.sql(sql).fetchall()}
+    assert duck == sigs
 
 
 def test_simhash_pairs_block_cover_with_remainder(spark):
