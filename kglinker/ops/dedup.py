@@ -51,14 +51,25 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
     """(doc_id, h0..h{n-1}): minhash over distinct token *trigram shingles*
-    where h_i(doc) = min(md5(i || ':' || shingle)). Trigram shingles (not
-    unigrams) keep set-Jaccard discriminative; string-min of md5 hex is a
-    uniform permutation surrogate that is bit-identical across engines."""
+    where h_i(doc) = min over shingles of an 8-hex-char (32-bit) slice of
+    sha2(⌊i/8⌋ || ':' || shingle, 256). One 256-bit digest yields 8
+    independent 32-bit minhash values, so n hashes cost ⌈n/8⌉ digest
+    computations per shingle — the hash stage dominates signature
+    generation at corpus scale, and this keeps the production 64-hash
+    configuration at 8 digests instead of 64. Trigram shingles (not
+    unigrams) keep set-Jaccard discriminative; fixed-width hex slices
+    compare lexicographically exactly as unsigned ints, bit-identical
+    across engines (the DuckDB oracle replays the same slicing)."""
     from kglinker.ops.util import explode_token_ngrams
     sh = explode_token_ngrams(docs, 3, ["doc_id"]).distinct()
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
-            for i in range(num_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    n_src = (num_hashes + 7) // 8
+    src = sh.select(
+        "doc_id",
+        *[F.sha2(F.concat(F.lit(f"{s}:"), F.col("g")), 256).alias(f"s{s}")
+          for s in range(n_src)])
+    aggs = [F.min(F.substring(F.col(f"s{i // 8}"), (i % 8) * 8 + 1, 8))
+            .alias(f"h{i}") for i in range(num_hashes)]
+    return src.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
