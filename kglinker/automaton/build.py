@@ -88,12 +88,16 @@ class Automaton:
         self._by_first: dict[str, list[str]] = {}
         items = entries.items() if isinstance(entries, dict) else entries
         for surface, payload in items:
-            self.add(surface, payload)
+            self._add(surface, payload)
         self._finalize()
 
-    def add(self, surface: str, payload: tuple[tuple[int, ...], bool]) -> None:
-        """Incremental insert (idempotent per surface: last payload wins,
-        matching dict-comprehension semantics of the batch path)."""
+    def _add(self, surface: str, payload: tuple[tuple[int, ...], bool]) -> None:
+        """Construction-time insert (idempotent per surface: last payload
+        wins, matching dict-comprehension semantics of the batch path).
+        Private on purpose (r3 advice): inserting after ``_finalize``
+        would leave ``_by_first`` probe lists unsorted (breaking
+        leftmost-longest matching) and the compiled ``_ahc`` automaton
+        stale — only ``__init__`` may call this."""
         node = self._root
         for ch in surface:
             node = node.setdefault(ch, {})

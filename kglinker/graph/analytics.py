@@ -11,7 +11,10 @@ Scale: the edge list is persisted/co-partitioned once and reused every
 iteration (the shuffle key never changes, so AQE reuses the exchange);
 rank state is a (node, rank) table, never driver-side. The iteration
 count is fixed and small (PageRank on KG entity graphs is used as a
-feature, not run to convergence).
+feature, not run to convergence). The final rank table is materialized
+via ``localCheckpoint`` and the edge cache released before returning
+(same lifecycle as canonicalize.py's connected components), so repeated
+calls do not leak executor cache.
 """
 
 from __future__ import annotations
@@ -25,29 +28,59 @@ __all__ = ["pagerank"]
 
 
 def pagerank(edges: DataFrame, iters: int = 3,
-             damping: float = 0.85) -> DataFrame:
-    """(node, rank) after ``iters`` power iterations on the UNDIRECTED
-    graph of (src, dst) edges; rank_0 = 1/n, rank_{k+1} =
-    (1−d)/n + d·Σ rank_k(neighbor)/deg(neighbor), fround 6 dp each step.
-    Co-occurrence edges are undirected by construction (src < dst), so
-    each edge contributes both ways; every node has degree ≥ 1 (no
-    dangling mass)."""
-    und = (edges.select("src", "dst")
-           .unionByName(edges.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-           .persist())
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = und.select(F.col("src").alias("node")).distinct()
+             damping: float = 0.85, directed: bool = False) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations on the (src, dst)
+    edge list; rank_0 = 1/n, fround 6 dp each step.
+
+    ``directed=False`` (the co-occurrence default): each edge contributes
+    both ways — rank_{k+1} = (1−d)/n + d·Σ rank_k(neighbor)/deg(neighbor).
+    Co-occurrence edges are undirected by construction (src < dst) and
+    every node has degree ≥ 1, so there is no dangling mass.
+
+    ``directed=True``: contributions flow src→dst with out-degree
+    normalization, and the rank mass of dangling nodes (no out-edges) is
+    redistributed uniformly each iteration — the standard correction;
+    without it sink nodes leak mass and ranks stop summing to 1. The
+    dangling mass is one scalar per iteration (a legitimately tiny
+    driver-side value, like the CC convergence probe); zero-in-degree
+    nodes are kept at the base + dangling share via a left join on the
+    node set."""
+    g = edges.select("src", "dst")
+    if not directed:
+        g = g.unionByName(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+    g = g.persist()
+    deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (g.select(F.col("src").alias("node"))
+             .unionByName(g.select(F.col("dst").alias("node")))
+             .distinct())
     n = nodes.count()
     ranks = nodes.withColumn("rank", fround(F.lit(1.0 / n), 6))
     base = (1.0 - damping) / n
     for _ in range(iters):
-        contribs = (und
-                    .join(ranks, und["src"] == ranks["node"])
+        contribs = (g
+                    .join(ranks, g["src"] == ranks["node"])
                     .join(deg, "src")
                     .select(F.col("dst").alias("node"),
                             (F.col("rank") / F.col("deg")).alias("c")))
-        ranks = (contribs.groupBy("node")
-                 .agg(fround(F.lit(base) + F.lit(damping) * F.sum("c"), 6)
-                      .alias("rank")))
+        if directed:
+            dangling = (ranks.join(deg, ranks["node"] == deg["src"],
+                                   "left_anti")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                        .collect()[0][0])
+            sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = (nodes.join(sums, "node", "left")
+                     .select("node",
+                             fround(F.lit(base) + F.lit(damping)
+                                    * (F.coalesce(F.col("s"), F.lit(0.0))
+                                       + F.lit(dangling / n)), 6)
+                             .alias("rank")))
+        else:
+            # every node has degree ≥ 1 → receives ≥ 1 contribution;
+            # formula kept verbatim from r3 (the DuckDB gate replays it)
+            ranks = (contribs.groupBy("node")
+                     .agg(fround(F.lit(base) + F.lit(damping) * F.sum("c"), 6)
+                          .alias("rank")))
+    ranks = ranks.localCheckpoint(eager=True)
+    g.unpersist()
     return ranks

@@ -111,7 +111,10 @@ def _unsuitable(surface: pd.Series, etype: pd.Series) -> pd.Series:
 def _base_surfaces(kb: DataFrame) -> DataFrame:
     """P1: NAME + ALIASES + REDIRECTS → one row per surface form, with
     ``#lang=``/``#ntype=`` tags stripped (KB2namelist.py:146-165) and
-    whitespace normalized (P3). Pure Column expressions → codegen."""
+    whitespace normalized (P3). Pure Column expressions → codegen.
+    Carries ``_gender``/``confidence`` through so G8 inflection can run
+    over base rows WITHOUT re-joining the KB (a forced broadcast of a
+    10^7–10^8-row KB projection was the r3-advice driver-memory risk)."""
     surfaces = F.array_union(
         F.array(F.col("name")),
         F.array_union(
@@ -120,7 +123,10 @@ def _base_surfaces(kb: DataFrame) -> DataFrame:
         ),
     )
     return (kb
-            .select("kb_id", "type", F.explode(surfaces).alias("raw"))
+            .select("kb_id", "type",
+                    F.coalesce("gender", F.lit("")).alias("_gender"),
+                    "confidence",
+                    F.explode(surfaces).alias("raw"))
             .withColumn("surface", F.trim(F.regexp_replace(
                 F.regexp_replace("raw", r"#(?:lang|ntype)=[^#|]*", ""),
                 r"\s+", " ")))
@@ -159,14 +165,14 @@ def build_namelist(kb_scored: DataFrame,
     # reference's create_cedar.sh:136-142 runs namegen over all
     # key_inflections in its default dictionary build
     persons = kb_scored.filter(F.col("type").startswith("person"))
-    infl_rows = kb_scored
+    infl_base = base
     if inflection_min_confidence is not None:
-        infl_rows = kb_scored.filter(
+        infl_base = base.filter(
             F.col("confidence") >= float(inflection_min_confidence))
-    gender = infl_rows.select(
-        "kb_id", F.coalesce("gender", F.lit("")).alias("_gender"))
-    inflected = (base
-                 .join(F.broadcast(gender), "kb_id")
+    # gender rides along from _base_surfaces — no KB re-join, no broadcast
+    # (the r3-advice fix: a forced broadcast of the full KB projection
+    # would OOM the driver at reference-scale 10^7-row KBs)
+    inflected = (infl_base
                  .select("kb_id", "type",
                          F.explode(_gen_inflections(
                              "surface", "type", "_gender"))

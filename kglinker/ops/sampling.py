@@ -32,17 +32,20 @@ def ngram_contamination(docs: DataFrame, bench: DataFrame,
     token ``n``-gram with a benchmark document (self-pairs excluded when
     ids collide). ``bench`` needs (bench_id, text).
 
-    Plan: distinct grams per side → gram equijoin (benchmark side is the
-    small build side → broadcast hash join at any realistic benchmark
-    size) → count per (doc, bench) pair. The corpus side is one scan +
-    one aggregation; corpus bytes never self-join."""
+    Plan: distinct grams per side → gram equijoin (the benchmark side is
+    normally the small build side; no explicit broadcast hint — per the
+    r3 advice, a huge benchmark suite's exploded 8-gram table can exceed
+    the broadcast cap, so Spark's size-based selection + AQE pick
+    broadcast when it fits and fall back to shuffle when it doesn't) →
+    count per (doc, bench) pair. The corpus side is one scan + one
+    aggregation; corpus bytes never self-join."""
     dg = explode_token_ngrams(docs, n, ["doc_id"]).distinct()
     bg = (explode_token_ngrams(
             bench.select(F.col("bench_id").alias("doc_id"), "text"), n,
             ["doc_id"])
           .distinct()
           .select(F.col("doc_id").alias("bench_id"), F.col("g").alias("bg")))
-    return (dg.join(F.broadcast(bg), (F.col("g") == F.col("bg"))
+    return (dg.join(bg, (F.col("g") == F.col("bg"))
                     & (F.col("doc_id") != F.col("bench_id")))
             .groupBy("doc_id", "bench_id")
             .agg(F.count(F.lit(1)).alias("n_shared")))

@@ -130,3 +130,35 @@ def test_pagerank_star_graph(spark):
     assert pr[3] == pr[4] == pr[5]          # symmetric leaves equal
     assert pr[1] > pr[3]                     # extra edge → extra rank
     assert abs(sum(pr.values()) - 1.0) < 0.01
+
+
+def test_pagerank_directed_sink_matches_numpy(spark):
+    """Directed mode with a sink node (r3 verdict #5): dangling mass must
+    be redistributed uniformly each iteration — ranks match a numpy
+    replica of the same fround-6 recurrence and still sum to ~1."""
+    from kglinker.graph.analytics import pagerank
+    # 0→1, 0→2, 1→2, 2→3, 3 is a sink; 4→0 gives 0 an in-edge
+    e = [(0, 1), (0, 2), (1, 2), (2, 3), (4, 0)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    iters, d = 4, 0.85
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=iters, damping=d,
+                             directed=True).collect()}
+
+    import math
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    out = {u: [v for (a, v) in e if a == u] for u in nodes}
+    # fround is floor(x*1e6)/1e6 — replicate exactly, per step
+    fr = lambda x: math.floor(x * 1e6) / 1e6
+    rank = {u: fr(1.0 / n) for u in nodes}
+    for _ in range(iters):
+        dangling = sum(rank[u] for u in nodes if not out[u])
+        s = {u: 0.0 for u in nodes}
+        for u in nodes:
+            for v in out[u]:
+                s[v] += rank[u] / len(out[u])
+        rank = {u: fr((1 - d) / n + d * (s[u] + dangling / n))
+                for u in nodes}
+    assert got == rank, (got, rank)
+    assert abs(sum(got.values()) - 1.0) < 0.01
