@@ -46,19 +46,33 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
 
 def asof_join(left: DataFrame, right: DataFrame, by: str = "user_id",
               ts: str = "ts", right_id: str = "event_id",
-              out_col: str = "asof_id") -> DataFrame:
-    """Backward as-of join: every ``left`` row gains ``out_col`` = the
-    ``right_id`` of the LATEST ``right`` row with ``right.ts <= left.ts``
-    in the same ``by`` group (NULL when none precedes).
+              out_col: str = "asof_id", direction: str = "backward",
+              tolerance_us: int | None = None) -> DataFrame:
+    """As-of join: every ``left`` row gains ``out_col`` = the ``right_id``
+    of the matching ``right`` row in the same ``by`` group (NULL when no
+    match). ``direction``:
+
+    - ``"backward"`` (default): LATEST right row with right.ts ≤ left.ts.
+    - ``"forward"``: EARLIEST right row with right.ts ≥ left.ts.
+    - ``"nearest"``: whichever of the two candidates has the smaller
+      absolute time delta; an exact tie picks the backward one (the
+      pandas ``merge_asof`` convention).
+
+    ``tolerance_us``: optional maximum |left.ts − right.ts| in exact
+    integer microseconds; candidates farther away resolve to NULL.
 
     Scalable shape — the union-tag trick: tag right rows 0 and left rows
-    1, union, then one window scan per ``by`` key carrying the last seen
-    right id (``last(..., ignorenulls=True)``). One shuffle, one sort,
-    ZERO joins — unlike the naive ``left.ts >= right.ts`` range join,
-    which Catalyst can only execute as a broadcast-nested-loop or a
-    blown-up sort-merge. Equal timestamps: the right row sorts before the
-    left row (tag order), so an exactly-simultaneous right row matches;
-    ties among right rows resolve to the highest ``right_id``."""
+    1, union, then per-key window scans carrying the last seen right row
+    (``last(struct, ignorenulls=True)``). One hash shuffle on ``by``,
+    ZERO joins — unlike the naive range join, which Catalyst can only
+    execute as a broadcast-nested-loop or a blown-up sort-merge.
+    ``forward``/``nearest`` add a second sort (descending scan) over the
+    SAME exchange — still no join operator. Equal timestamps match in
+    both directions (tag order puts right rows first in either scan);
+    ties among right rows resolve to the highest ``right_id`` backward
+    and the lowest forward."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     r = right.select(F.col(by).alias("_by"), us.alias("_us"),
                      F.col(right_id).alias("_rid"),
@@ -69,9 +83,42 @@ def asof_join(left: DataFrame, right: DataFrame, by: str = "user_id",
                     F.lit(1).alias("_tag"))
     u = l.unionByName(r.select("_by", "_us", "_rid", "_tag"),
                       allowMissingColumns=True)
-    w = (Window.partitionBy("_by")
-         .orderBy("_us", "_tag", F.col("_rid").asc_nulls_first())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (u.withColumn(out_col, F.last("_rid", ignorenulls=True).over(w))
+    # right rows carry a (us, rid) struct; left rows carry NULL, so
+    # last(..., ignorenulls) skips them in either scan direction
+    rstruct = F.when(F.col("_tag") == 0,
+                     F.struct(F.col("_us").alias("us"),
+                              F.col("_rid").alias("rid")))
+    u = u.withColumn("_r", rstruct)
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    wb = (Window.partitionBy("_by")
+          .orderBy("_us", "_tag", F.col("_rid").asc_nulls_first())
+          .rowsBetween(*frame))
+    wf = (Window.partitionBy("_by")
+          .orderBy(F.col("_us").desc(), "_tag",
+                   F.col("_rid").desc_nulls_first())
+          .rowsBetween(*frame))
+
+    def _gate(cand: F.Column, delta: F.Column) -> F.Column:
+        ok = cand.isNotNull()
+        if tolerance_us is not None:
+            ok = ok & (delta <= F.lit(int(tolerance_us)))
+        return ok
+
+    if direction == "backward":
+        cand = F.last("_r", ignorenulls=True).over(wb)
+        chosen = F.when(_gate(cand, F.col("_us") - cand["us"]), cand["rid"])
+    elif direction == "forward":
+        cand = F.last("_r", ignorenulls=True).over(wf)
+        chosen = F.when(_gate(cand, cand["us"] - F.col("_us")), cand["rid"])
+    else:
+        b = F.last("_r", ignorenulls=True).over(wb)
+        f = F.last("_r", ignorenulls=True).over(wf)
+        db, df = F.col("_us") - b["us"], f["us"] - F.col("_us")
+        b_ok, f_ok = _gate(b, db), _gate(f, df)
+        chosen = (F.when(b_ok & f_ok,
+                         F.when(df < db, f["rid"]).otherwise(b["rid"]))
+                  .when(b_ok, b["rid"])
+                  .when(f_ok, f["rid"]))
+    return (u.withColumn(out_col, chosen)
             .filter(F.col("_tag") == 1)
             .select(*lcols, out_col))

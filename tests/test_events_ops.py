@@ -146,3 +146,110 @@ def test_asof_matches_bruteforce_property(spark):
                  if rts <= ts]
         want = max(cands)[1] if cands else None
         assert got[lid] == want, (lid, got[lid], want)
+
+
+def _dense_events():
+    """md5-derived dense event set with plenty of exact ts collisions
+    (shared by the direction-variant property tests)."""
+    import hashlib
+
+    def h(tag):
+        return int(hashlib.md5(tag.encode()).hexdigest()[:6], 16)
+
+    lefts, rights = [], []
+    eid = 0
+    for user in range(1, 5):
+        for k in range(30):
+            t = datetime(2024, 1, 1) + timedelta(minutes=h(f"L{user}:{k}") % 40)
+            lefts.append((eid, t, user, "l")); eid += 1
+        for k in range(20):
+            t = datetime(2024, 1, 1) + timedelta(minutes=h(f"R{user}:{k}") % 40)
+            rights.append((eid, t, user, "r")); eid += 1
+    return lefts, rights
+
+
+def test_asof_forward_matches_bruteforce_property(spark):
+    """forward = earliest right with ts >= left.ts, MIN-id tiebreak
+    (r3 verdict #6) — verified row-for-row against brute force."""
+    lefts, rights = _dense_events()
+    got = {r["event_id"]: r["asof_id"]
+           for r in asof_join(_ev(spark, lefts), _ev(spark, rights),
+                              direction="forward").collect()}
+    by_user = {}
+    for rid, ts, user, _ in rights:
+        by_user.setdefault(user, []).append((ts, rid))
+    for lid, ts, user, _ in lefts:
+        cands = [(rts, rid) for rts, rid in by_user.get(user, [])
+                 if rts >= ts]
+        want = min(cands)[1] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+def test_asof_nearest_with_tolerance_matches_bruteforce(spark):
+    """nearest = smaller |Δt| of the backward/forward candidates, exact
+    tie → backward (pandas merge_asof convention); tolerance_us drops
+    candidates farther than the bound. Brute-force replica: the backward
+    candidate is the max-(ts,id) among earlier-or-equal rights, the
+    forward one the min-(ts,id) among later-or-equal — same tiebreaks as
+    the operator — then the nearer valid one wins."""
+    tol_us = 10 * 60 * 1_000_000   # 10 minutes
+    lefts, rights = _dense_events()
+    got = {r["event_id"]: r["asof_id"]
+           for r in asof_join(_ev(spark, lefts), _ev(spark, rights),
+                              direction="nearest",
+                              tolerance_us=tol_us).collect()}
+    by_user = {}
+    for rid, ts, user, _ in rights:
+        by_user.setdefault(user, []).append((ts, rid))
+    for lid, ts, user, _ in lefts:
+        back = [(rts, rid) for rts, rid in by_user.get(user, [])
+                if rts <= ts]
+        fwd = [(rts, rid) for rts, rid in by_user.get(user, [])
+               if rts >= ts]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        db = (ts - b[0]).total_seconds() * 1e6 if b else None
+        df = (f[0] - ts).total_seconds() * 1e6 if f else None
+        b_ok = b is not None and db <= tol_us
+        f_ok = f is not None and df <= tol_us
+        if b_ok and f_ok:
+            want = f[1] if df < db else b[1]
+        elif b_ok:
+            want = b[1]
+        elif f_ok:
+            want = f[1]
+        else:
+            want = None
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+def test_asof_backward_tolerance(spark):
+    """tolerance_us on the backward default: a match farther back than
+    the bound resolves to NULL, an in-bound one survives."""
+    t = datetime(2024, 1, 1)
+    left = _ev(spark, [(10, t.replace(hour=1), 1, "p"),
+                       (11, t.replace(hour=5), 1, "p")])
+    right = _ev(spark, [(20, t.replace(minute=55), 1, "s")])
+    got = {r["event_id"]: r["asof_id"]
+           for r in asof_join(left, right,
+                              tolerance_us=10 * 60 * 1_000_000).collect()}
+    assert got == {10: 20, 11: None}
+
+
+def test_asof_variant_plans_have_no_join(spark):
+    """forward and nearest keep the union-tag shape: a second sort over
+    the same exchange, still ZERO join operators."""
+    import contextlib
+    import io
+    t = datetime(2024, 1, 1)
+    left = _ev(spark, [(10, t, 1, "p")])
+    right = _ev(spark, [(20, t, 1, "s")])
+    for direction in ("forward", "nearest"):
+        df = asof_join(left, right, direction=direction,
+                       tolerance_us=1_000_000)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Join" not in plan, direction
+        assert plan.count("Exchange") <= 2, direction
