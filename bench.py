@@ -57,6 +57,9 @@ def main() -> None:
 
     lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     n_convs = max(200, int(lineitem.count() / 20))
+    # SPARK_GRAFT_CONVS overrides the corpus size (the sf1-scale growth
+    # point: 300000 convs ≈ 2.1M turns — BENCH/BASELINE.md records it)
+    n_convs = int(os.environ.get("SPARK_GRAFT_CONVS", n_convs))
     kb_scored, art, canon = build_kb_side(spark)
 
     t0 = time.time()

@@ -58,11 +58,21 @@ class LineageCheckpointer:
         os.makedirs(lineage_path, exist_ok=True)
 
     # -- lineage ------------------------------------------------------------
-    def done_buckets(self) -> set[int]:
+    def done_buckets(self, kb_snapshot: str | None = None) -> set[int]:
+        """Buckets with a lineage marker; ``kb_snapshot`` restricts to
+        buckets finished under THAT snapshot id (the resume key: output
+        produced from an older KB snapshot is stale for a run pinned to a
+        newer one — on Iceberg this is the snapshot-id predicate on the
+        ``_lineage`` table). ``None`` returns every marked bucket."""
         out = set()
         for f in os.listdir(self.lineage_path):
             if f.startswith("bucket-") and f.endswith(".json"):
-                out.add(int(f[len("bucket-"):-len(".json")]))
+                b = int(f[len("bucket-"):-len(".json")])
+                if kb_snapshot is not None:
+                    with open(os.path.join(self.lineage_path, f)) as fh:
+                        if json.load(fh).get("kb_snapshot") != kb_snapshot:
+                            continue
+                out.add(b)
         return out
 
     def lineage_records(self) -> list[dict]:
@@ -87,7 +97,7 @@ class LineageCheckpointer:
         buckets processed this call. ``max_buckets`` limits how many buckets
         are included in the job (used by the kill/resume test to simulate a
         dying run — fewer buckets per commit = finer resume granularity)."""
-        done = self.done_buckets()
+        done = self.done_buckets(self.kb_snapshot)
         pending = [b for b in range(self.n_buckets) if b not in done]
         if max_buckets is not None:
             pending = pending[:max_buckets]

@@ -162,3 +162,39 @@ def test_pagerank_directed_sink_matches_numpy(spark):
                 for u in nodes}
     assert got == rank, (got, rank)
     assert abs(sum(got.values()) - 1.0) < 0.01
+
+
+def test_lineage_snapshot_id_roundtrip(spark, tmp_path):
+    """r3 verdict #8: lineage records carry the KB snapshot id, and
+    resume keys on it — a run pinned to the SAME snapshot skips finished
+    buckets (zero recompute), a run pinned to a NEWER snapshot treats
+    them as stale and reprocesses. On Iceberg this test's semantics map
+    to the snapshot-id predicate on the _lineage table; the swap stays
+    one-line."""
+    from kglinker.data.transcripts import transcripts_df
+    from kglinker.runtime.checkpoint import LineageCheckpointer
+    t = transcripts_df(spark, 40).cache()
+    work = str(tmp_path / "w")
+
+    ck1 = LineageCheckpointer(f"{work}/out", f"{work}/_lineage", 4,
+                              kb_snapshot="kb-snap-v1")
+    first = ck1.run(t, lambda df: df.select("conv_id", "turn_idx", "text"))
+    assert sorted(first) == [0, 1, 2, 3]
+    recs = ck1.lineage_records()
+    assert len(recs) == 4
+    assert {r["kb_snapshot"] for r in recs} == {"kb-snap-v1"}
+
+    # same snapshot → resume skips everything
+    again = LineageCheckpointer(f"{work}/out", f"{work}/_lineage", 4,
+                                kb_snapshot="kb-snap-v1")
+    assert again.run(t, lambda df: df) == []
+
+    # newer snapshot → all 4 buckets are stale and re-run; markers now
+    # carry the new id
+    ck2 = LineageCheckpointer(f"{work}/out", f"{work}/_lineage", 4,
+                              kb_snapshot="kb-snap-v2")
+    assert sorted(ck2.run(
+        t, lambda df: df.select("conv_id", "turn_idx", "text"))) == [0, 1, 2, 3]
+    assert {r["kb_snapshot"] for r in ck2.lineage_records()} == {"kb-snap-v2"}
+    assert ck2.done_buckets("kb-snap-v1") == set()
+    assert ck2.done_buckets() == {0, 1, 2, 3}
