@@ -37,7 +37,7 @@ from kglinker.ops.util import fround
 
 __all__ = ["cosine_topk", "hyperplanes", "lsh_buckets", "lsh_band_keys",
            "lsh_topk", "lsh_neardup_pairs", "cosine_pairs_same_label",
-           "ivf_assign", "ivf_topk"]
+           "ivf_assign", "ivf_fit", "ivf_topk"]
 
 
 def _dot(a: str, b: str) -> F.Column:
@@ -212,6 +212,15 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
     production path); 'auto' (default) picks by count. Both produce
     bit-identical assignments (tests/test_ivf_recall.py asserts it).
     Empty clusters keep their previous centroid."""
+    return ivf_fit(emb, n_centroids, kmeans_iters, assign_mode)[0]
+
+
+def ivf_fit(emb: DataFrame, n_centroids: int = 8,
+            kmeans_iters: int = 2, assign_mode: str = "auto"
+            ) -> tuple[DataFrame, dict[int, list[float]]]:
+    """(assignment DataFrame, final centroids) — the centroid dict is the
+    driver-side model state multi-probe search needs (see
+    :func:`ivf_assign` for the semantics and scale notes)."""
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
     cents = {int(r["vec_id"]): list(r["v"]) for r in
              e.filter(F.col("vec_id") < n_centroids).collect()}
@@ -227,19 +236,42 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
                      lambda s: s["mv"]).alias("cv")))
         got = {int(r["cent_id"]): list(r["cv"]) for r in means.collect()}
         cents = {cid: got.get(cid, cv) for cid, cv in cents.items()}
-    return _assign(e, cents, assign_mode)
+    return _assign(e, cents, assign_mode), cents
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = 8, kmeans_iters: int = 2,
-             assign_mode: str = "auto") -> DataFrame:
-    """IVF ANN: each query probes only its own centroid's inverted list —
-    the corpus-scale path where the cross join is replaced by a bucket
-    equijoin (recall < 1 by design, like any single-probe IVF)."""
-    assign = ivf_assign(emb, n_centroids, kmeans_iters, assign_mode)
-    q = (assign.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("cent_id").alias("qc"), F.col("v").alias("qv")))
+             assign_mode: str = "auto", nprobe: int = 1) -> DataFrame:
+    """IVF ANN: each query probes the inverted lists of its ``nprobe``
+    nearest centroids — the corpus-scale path where the cross join is
+    replaced by a bucket equijoin. ``nprobe=1`` (default) is classic
+    single-probe; raising it is the standard IVF recall lever (recall
+    < 1 by design either way — candidates never leave probed buckets).
+    Probe selection uses the SAME fround-cosine / cent_id-asc tie order
+    as assignment, so the nprobe=1 probe is exactly the assigned
+    centroid; the probe scoring join is queries × centroids (both tiny —
+    broadcast, no corpus shuffle)."""
+    assign, cents = ivf_fit(emb, n_centroids, kmeans_iters, assign_mode)
+    if nprobe <= 1:
+        q = (assign.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("cent_id").alias("qc"), F.col("v").alias("qv")))
+    else:
+        spark = emb.sparkSession
+        cdf = spark.createDataFrame(
+            [(int(cid), [float(x) for x in cents[cid]])
+             for cid in sorted(cents)], "cent_id int, cv array<double>")
+        qv = (assign.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv")))
+        psim = fround(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 4)
+        pw = Window.partitionBy("query_id").orderBy(
+            F.desc("_ps"), F.asc("cent_id"))
+        q = (qv.crossJoin(F.broadcast(cdf))
+             .withColumn("_ps", psim)
+             .withColumn("_pr", F.row_number().over(pw))
+             .filter(F.col("_pr") <= int(nprobe))
+             .select("query_id", F.col("cent_id").alias("qc"), "qv"))
     joined = assign.join(F.broadcast(q), (F.col("cent_id") == F.col("qc"))
                          & (F.col("vec_id") != F.col("query_id")))
     sim = fround(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)

@@ -128,3 +128,24 @@ def test_kmeans_assignment_matches_labels(spark):
                                  F.sum("count").alias("n")))
     for r in dom.collect():
         assert r["m"] / r["n"] >= 0.9, r
+
+
+def test_multiprobe_recall_monotone(spark):
+    """r4: nprobe is the IVF recall lever — recall@k never drops as the
+    probe count rises, nprobe=1 equals the classic single-probe path
+    exactly, and probing EVERY centroid recovers brute force (candidates
+    = the whole corpus)."""
+    emb = _emb(spark).cache()
+    queries = [10, 77, 151]
+    k = 10
+    kw = dict(n_centroids=N_CLUSTERS, kmeans_iters=2)
+    r1 = _recall(spark, emb, queries, k, **kw)
+    r2 = _recall(spark, emb, queries, k, nprobe=2, **kw)
+    rall = _recall(spark, emb, queries, k, nprobe=N_CLUSTERS, **kw)
+    assert r1 <= r2 <= rall, (r1, r2, rall)
+    assert rall == 1.0
+
+    # nprobe=1 must be byte-identical to the single-probe default
+    a = sorted(map(tuple, ivf_topk(emb, queries, k, **kw).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k, nprobe=1, **kw).collect()))
+    assert a == b
