@@ -61,7 +61,13 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
     compare lexicographically exactly as unsigned ints, bit-identical
     across engines (the DuckDB oracle replays the same slicing)."""
     from kglinker.ops.util import explode_token_ngrams
-    sh = explode_token_ngrams(docs, 3, ["doc_id"]).distinct()
+    # NO distinct() on the shingle table: min over a multiset equals min
+    # over its set, so deduplication would only add a full shuffle of
+    # every shingle — the single most expensive exchange of this plan at
+    # corpus scale. (ngram_jaccard_pairs, which counts set sizes, still
+    # deduplicates.) The DuckDB oracle keeps SELECT DISTINCT; results
+    # are identical by the idempotence of min.
+    sh = explode_token_ngrams(docs, 3, ["doc_id"])
     n_src = (num_hashes + 7) // 8
     src = sh.select(
         "doc_id",

@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 from kglinker.ops.util import fround
 
 __all__ = ["STOPWORDS", "LANG_MARKERS", "text_quality", "lang_id",
-           "token_counts", "fingerprints", "word_freq_ratio"]
+           "token_counts", "fingerprints", "word_freq_ratio",
+           "repetition_stats"]
 
 # top English function words (quality-gate stoplist)
 STOPWORDS = [
@@ -121,3 +122,43 @@ def word_freq_ratio(docs: DataFrame) -> DataFrame:
               .agg(F.sum("freq").alias("tot"))
     return (freq.join(tot, F.lower("word") == F.col("lw"))
             .select("word", "freq", fround(F.col("freq") / F.col("tot"), 4).alias("ratio")))
+
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, n_grams, n_distinct, top_gram_count, dup_gram_frac,
+    top_gram_frac): the RefinedWeb/Gopher-style repetition filters —
+    ``dup_gram_frac`` is the fraction of token-``n``-gram OCCURRENCES that
+    are repeats of an earlier occurrence (1 − distinct/total), and
+    ``top_gram_frac`` the fraction claimed by the single most frequent
+    n-gram. Docs with high values are boilerplate/spam candidates that
+    per-doc dedup cannot catch (the repetition is INSIDE the document).
+
+    Plan: in-row n-gram explode → one (doc_id, gram) count aggregation →
+    one per-doc rollup — two map-side-combinable shuffles, no join, no
+    Python. Documents with fewer than ``n`` tokens emit no n-grams and
+    are reported with n_grams = 0 and zero fractions (a LEFT join from
+    the doc list keeps them — short docs are exactly the rows a quality
+    pipeline must still see)."""
+    from kglinker.ops.util import explode_token_ngrams
+    grams = explode_token_ngrams(docs, n, ["doc_id"])
+    per_gram = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_gram_count"))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                F.coalesce("top_gram_count", F.lit(0))
+                 .alias("top_gram_count"),
+                fround(F.when(F.col("n_grams").isNull(), 0.0)
+                       .otherwise(1.0 - F.col("n_distinct")
+                                  / F.col("n_grams")), 4)
+                .alias("dup_gram_frac"),
+                fround(F.when(F.col("n_grams").isNull(), 0.0)
+                       .otherwise(F.col("top_gram_count")
+                                  / F.col("n_grams")), 4)
+                .alias("top_gram_frac")))

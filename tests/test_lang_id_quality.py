@@ -37,3 +37,22 @@ def test_token_counts_uppercase_runs(spark):
                                  "doc_id long, text string")
     row = token_counts(docs).collect()[0]
     assert row["alnum_tokens"] == 5
+
+
+def test_repetition_stats_crafted(spark):
+    """dup/top-gram fractions on crafted docs: a pure repetition, a
+    no-repeat doc, and a 1-token doc (no bigrams → zero row survives the
+    left join)."""
+    from kglinker.ops.textstats import repetition_stats
+    rows = [
+        (0, "spam spam spam spam spam", "en", "web", 0),    # 4 bigrams, 1 distinct
+        (1, "a b c d e", "en", "web", 0),                   # 4 bigrams, all distinct
+        (2, "solo", "en", "web", 0),                        # no bigrams
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    assert got[0]["n_grams"] == 4 and got[0]["n_distinct"] == 1
+    assert got[0]["dup_gram_frac"] == 0.75 and got[0]["top_gram_frac"] == 1.0
+    assert got[1]["dup_gram_frac"] == 0.0 and got[1]["top_gram_frac"] == 0.25
+    assert got[2]["n_grams"] == 0 and got[2]["dup_gram_frac"] == 0.0
