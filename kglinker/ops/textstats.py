@@ -12,7 +12,7 @@ from kglinker.ops.util import fround
 
 __all__ = ["STOPWORDS", "LANG_MARKERS", "text_quality", "lang_id",
            "token_counts", "fingerprints", "word_freq_ratio",
-           "repetition_stats"]
+           "repetition_stats", "logprob_quality"]
 
 # top English function words (quality-gate stoplist)
 STOPWORDS = [
@@ -162,3 +162,27 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
                        .otherwise(F.col("top_gram_count")
                                   / F.col("n_grams")), 4)
                 .alias("top_gram_frac")))
+
+
+def logprob_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob): mean ln(unigram probability) of
+    the document's tokens under the corpus's OWN unigram distribution —
+    the classic perplexity-proxy quality filter (docs far below the
+    corpus norm are gibberish/boilerplate candidates; far above are
+    stopword soup). A production pipeline swaps the unigram model for a
+    trained LM behind the same operator shape.
+
+    Plan: one corpus-wide (token → count) aggregation joined back onto
+    the exploded tokens (the frequency table is vocabulary-sized →
+    size-based broadcast at any realistic corpus), plus a scalar total
+    via a 1-row cross join — two map-side-combinable shuffles, no
+    Python."""
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (toks.join(freq, "tok")
+            .crossJoin(total)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 fround(F.avg(F.log(F.col("c") / F.col("n"))), 4)
+                 .alias("avg_logprob")))
