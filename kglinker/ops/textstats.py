@@ -173,10 +173,11 @@ def logprob_quality(docs: DataFrame) -> DataFrame:
     trained LM behind the same operator shape.
 
     Plan: one corpus-wide (token → count) aggregation joined back onto
-    the exploded tokens (the frequency table is vocabulary-sized →
-    size-based broadcast at any realistic corpus), plus a scalar total
-    via a 1-row cross join — two map-side-combinable shuffles, no
-    Python."""
+    the exploded tokens, plus a scalar total via a 1-row cross join —
+    map-side-combinable shuffles, no Python. The frequency table is
+    vocabulary-sized: broadcast when it fits; at web scale (billions of
+    distinct tokens) it becomes a token-keyed shuffle equijoin — still
+    linear, and the natural layout is both sides bucketed by token."""
     toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
