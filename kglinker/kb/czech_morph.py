@@ -57,6 +57,16 @@ CASES = ("gen", "dat", "acc", "loc", "instr")
 _SOFT_FINALS = ("š", "č", "ř", "ž", "c", "j", "ď", "ť", "ň")
 _VOWELS = "aeiouyáéěíóúůý"
 
+# dictionary-listed SINGULAR -ice toponyms (r4): the productive -ice
+# rule treats names as the majority PLURAL shape (Budějovice, Pardubice,
+# Teplice); these frequent towns are grammatically singular feminine and
+# would otherwise get plural oblique forms. Hand-verified; extend as the
+# KB grows — unknown -ice names keep the plural default.
+_SINGULAR_ICE = frozenset({
+    "bystřice", "sušice", "roudnice", "kopřivnice", "březnice",
+    "skalice", "lipnice", "telnice",
+})
+
 # feminine -a dative/locative stem-final alternations (žena paradigm)
 _FEM_DAT_ALT = [
     ("ck", "cce"), ("sk", "sce"),            # Franceska → Francesce
@@ -205,6 +215,15 @@ def decline_location_word(w: str) -> dict[str, list[str]] | None:
     lw = w.lower()
     if not any(c in _VOWELS for c in lw) or w.isupper():
         return None   # acronyms (TGM, USA) and vowel-less words stay put
+    if lw in _SINGULAR_ICE:
+        # dictionary-listed SINGULAR -ice toponyms (růže paradigm:
+        # Bystřice → do Bystřice / v Bystřici / s Bystřicí) — the default
+        # -ice rule below assumes the majority plural shape (Budějovice),
+        # which is wrong for these; the reference resolves this with
+        # namegen's morphological dictionary, we list the frequent ones
+        s = w[:-1]
+        return {"gen": [w], "dat": [s + "i"], "acc": [s + "i"],
+                "loc": [s + "i"], "instr": [s + "í"]}
     if lw.endswith("ice") and len(lw) > 4:
         s = w[:-1]
         return {"gen": [w[:-1]], "dat": [s + "ím"], "acc": [w],

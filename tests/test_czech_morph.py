@@ -169,6 +169,16 @@ LOCATION_GOLDENS: list[tuple[str, set[str]]] = [
     ("Ústí", {"Ústím"}),
     ("Veselí", {"Veselím"}),
     ("Hluboká", {"Hluboké", "Hlubokou"}),
+    # r4 — dictionary-listed SINGULAR -ice (růže paradigm), vs the
+    # plural default (Budějovice above)
+    ("Bystřice", {"Bystřici", "Bystřicí"}),
+    ("Sušice", {"Sušici", "Sušicí"}),
+    ("Roudnice", {"Roudnici", "Roudnicí"}),
+    ("Kopřivnice", {"Kopřivnici", "Kopřivnicí"}),
+    ("Březnice", {"Březnici", "Březnicí"}),
+    ("Skalice", {"Skalici", "Skalicí"}),
+    ("Lipnice", {"Lipnici", "Lipnicí"}),
+    ("Telnice", {"Telnici", "Telnicí"}),
     # conservative contract: unrecognized patterns emit NOTHING
     ("Prague", set()), ("Germany", set()), ("Czechia", set()),
     ("United States", set()), ("TGM", set()),
