@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kglinker.ops.events import asof_join, sessionize
@@ -253,3 +255,10 @@ def test_asof_variant_plans_have_no_join(spark):
         plan = buf.getvalue()
         assert "Join" not in plan, direction
         assert plan.count("Exchange") <= 2, direction
+
+
+def test_asof_unknown_direction_raises(spark):
+    t = datetime(2024, 1, 1)
+    left = _ev(spark, [(10, t, 1, "p")])
+    with pytest.raises(ValueError):
+        asof_join(left, left, direction="sideways")

@@ -107,3 +107,35 @@ def test_band_keys_shape(spark):
     flip = str.maketrans("01", "10")
     for band in range(LSH_BANDS):
         assert by_vec[0][band] == by_vec[1][band].translate(flip)
+
+
+def test_lsh_topk_recall_on_clustered_corpus(spark):
+    """ANN top-k recall at the REGISTERED plane/band params on a
+    clustered corpus (the md5-derived cluster fixture of the IVF gate):
+    banded multi-probe lsh_topk must recover ≥0.8 of the brute-force
+    top-10 — the same evidence style the near-dup path already carries."""
+    import hashlib
+
+    from kglinker.ops.similarity import cosine_topk, lsh_topk
+
+    def h(tag: str) -> float:
+        d = hashlib.md5(tag.encode()).hexdigest()
+        return int(d[:8], 16) / float(0xFFFFFFFF) - 0.5
+
+    rows, vid = [], 0
+    for i in range(40):
+        for c in range(6):
+            center = [h(f"c{c}:{d}") * 4 for d in range(DIM)]
+            rows.append((vid, [center[d] + h(f"v{c}:{i}:{d}") * 0.3
+                               for d in range(DIM)]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").cache()
+    queries = [10, 77, 151]
+    truth = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, queries, 10).collect()}
+    got = {(r["query_id"], r["vec_id"])
+           for r in lsh_topk(emb, queries, LSH_PLANES, k=10,
+                             bands=LSH_BANDS).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, recall
