@@ -35,7 +35,8 @@ from pyspark.sql.window import Window
 
 from kglinker.streaming.graph import _applied, _mark_applied
 
-__all__ = ["stream_dedup_documents", "read_dedup_state", "DOCS_SCHEMA"]
+__all__ = ["stream_dedup_documents", "read_dedup_state",
+           "stream_neardup_documents", "read_neardup_state", "DOCS_SCHEMA"]
 
 DOCS_SCHEMA = ("doc_id long, text string, lang string, source string, "
                "n_chars int")
@@ -77,3 +78,108 @@ def stream_dedup_documents(spark: SparkSession, input_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_neardup_documents(spark: SparkSession, input_path: str,
+                             state_path: str, checkpoint_path: str,
+                             num_hashes: int = 64, bands: int = 16,
+                             min_est: float = 0.5,
+                             available_now: bool = True) -> StreamingQuery:
+    """Streaming NEAR-dup admission: per micro-batch, minhash-sign the
+    arriving documents and drop any doc whose estimated Jaccard vs an
+    ALREADY-ADMITTED doc (or an earlier doc of the same batch) reaches
+    ``min_est``; survivors' signatures append to the persistent
+    signature state. The streaming twin of
+    :func:`kglinker.ops.dedup.minhash_lsh_pairs` — candidates come from
+    the banded bucket equijoin of new-batch keys against the state's
+    keys (linear in batch size, never batch × full corpus), exactly the
+    incremental-ingest shape: the state only ever APPENDS signatures of
+    admitted docs (one row per doc per band).
+
+    Within-batch ordering: lower doc_id wins (the batch self-join uses
+    doc_a < doc_b, matching the batch operator's survivor rule);
+    cross-batch, earlier-admitted always wins. Replays are
+    self-idempotent — a re-run batch collides with its own admitted
+    signatures and admits nothing new.
+
+    Scale: bucket the state by band key on a cluster so each batch
+    probes only its buckets; signatures are ``bands`` short strings per
+    doc — the state stays a tiny fraction of corpus bytes."""
+    os.makedirs(state_path, exist_ok=True)
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
+    sig_dir = os.path.join(state_path, "sigs")
+    rpb = num_hashes // bands
+
+    def _band_keys(sig):
+        from kglinker.ops.dedup import minhash_signatures  # noqa: F401
+        hcols = [f"h{i}" for i in range(num_hashes)]
+        exprs = []
+        for b in range(bands):
+            cols = hcols[b * rpb:(b + 1) * rpb]
+            exprs.append(F.struct(F.lit(b).alias("band"),
+                                  F.concat_ws("|", *cols).alias("key")))
+        return (sig.select("doc_id", F.explode(F.array(*exprs)).alias("bk"),
+                           *hcols)
+                .select("doc_id", F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key"), *hcols))
+
+    def _est(prefix_a, prefix_b):
+        return sum(F.when(F.col(f"{prefix_a}h{i}") == F.col(f"{prefix_b}h{i}"),
+                          1).otherwise(0)
+                   for i in range(num_hashes)) / F.lit(float(num_hashes))
+
+    def sink(batch_df, batch_id: int) -> None:
+        if int(batch_id) in _applied(state_path):
+            return
+        sp = batch_df.sparkSession
+        from kglinker.ops.dedup import minhash_signatures
+        sig = minhash_signatures(batch_df, num_hashes)
+        bk = _band_keys(sig).cache()
+        hcols = [f"h{i}" for i in range(num_hashes)]
+
+        # vs state: any band collision whose est reaches min_est kills
+        dead = None
+        if os.path.exists(sig_dir):
+            st = sp.read.parquet(sig_dir)
+            coll = bk.alias("n").join(
+                st.alias("s"),
+                (F.col("n.band") == F.col("s.band"))
+                & (F.col("n.key") == F.col("s.key"))).select(
+                F.col("n.doc_id").alias("doc_id"),
+                *[F.col(f"n.h{i}").alias(f"ah{i}") for i in range(num_hashes)],
+                *[F.col(f"s.h{i}").alias(f"bh{i}") for i in range(num_hashes)])
+            dead = (coll.withColumn("est", _est("a", "b"))
+                    .filter(F.col("est") >= min_est)
+                    .select("doc_id").distinct())
+        # within-batch: doc_a < doc_b collision → the larger id dies
+        a, b = bk.alias("a"), bk.alias("b")
+        intra = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.key") == F.col("b.key"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("b.doc_id").alias("doc_id"),
+                         *[F.col(f"a.h{i}").alias(f"ah{i}")
+                           for i in range(num_hashes)],
+                         *[F.col(f"b.h{i}").alias(f"bh{i}")
+                           for i in range(num_hashes)])
+                 .withColumn("est", _est("a", "b"))
+                 .filter(F.col("est") >= min_est)
+                 .select("doc_id").distinct())
+        dead = intra if dead is None else dead.unionByName(intra).distinct()
+        survivors = bk.join(dead, "doc_id", "left_anti") \
+                      .select("doc_id", "band", "key", *hcols)
+        survivors.write.mode("append").parquet(sig_dir)
+        bk.unpersist()
+        _mark_applied(state_path, batch_id)
+
+    writer = (stream.writeStream
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_neardup_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Admitted doc ids (one row per doc) from the signature state."""
+    return (spark.read.parquet(os.path.join(state_path, "sigs"))
+            .select("doc_id").distinct())

@@ -76,3 +76,52 @@ def test_stream_dedup_merge_idempotent_without_marker(spark, tmp_path):
     st = read_dedup_state(spark, state)
     assert st.count() == 2
     assert st.count() == st.select("text_hash").distinct().count()
+
+
+def test_stream_neardup_admission(spark, tmp_path):
+    """Streaming near-dup: an arriving document whose minhash-estimated
+    Jaccard vs an admitted doc reaches the threshold is dropped —
+    across batches AND within a batch; unrelated docs are admitted; a
+    marker-less replay admits nothing (self-idempotence via the state)."""
+    import hashlib
+    import os
+
+    from kglinker.streaming.dedup import (read_neardup_state,
+                                          stream_neardup_documents)
+
+    def w(tag):
+        return "w" + hashlib.md5(tag.encode()).hexdigest()[:6]
+
+    def doc(i, words):
+        text = " ".join(words)
+        return (i, text, "en", "web", len(text))
+
+    base = [w(f"b:{t}") for t in range(60)]
+    other = [w(f"o:{t}") for t in range(60)]
+    clone = list(base)
+    for i in range(3):
+        clone[7 + i * 17] = w(f"sub:{i}")   # shingle-Jaccard ≈ 0.73
+
+    inp, state, ck = (str(tmp_path / d) for d in ("in", "st", "ck"))
+    os.makedirs(inp)
+
+    # batch 1: base + an unrelated doc + a WITHIN-batch near-dup of base
+    _write_batch(spark, inp, [doc(1, base), doc(2, other), doc(3, clone)],
+                 "b1")
+    stream_neardup_documents(spark, inp, state, ck).awaitTermination()
+    assert sorted(r["doc_id"] for r in
+                  read_neardup_state(spark, state).collect()) == [1, 2]
+
+    # batch 2: a cross-batch clone of doc 1 + a genuinely new doc
+    fresh = [w(f"f:{t}") for t in range(60)]
+    _write_batch(spark, inp, [doc(10, clone), doc(11, fresh)], "b2")
+    stream_neardup_documents(spark, inp, state, ck).awaitTermination()
+    assert sorted(r["doc_id"] for r in
+                  read_neardup_state(spark, state).collect()) == [1, 2, 11]
+
+    # marker-less replay of everything: self-collisions admit nothing
+    os.remove(os.path.join(state, "_applied_batches.json"))
+    stream_neardup_documents(spark, inp, state,
+                             str(tmp_path / "ck2")).awaitTermination()
+    assert sorted(r["doc_id"] for r in
+                  read_neardup_state(spark, state).collect()) == [1, 2, 11]
