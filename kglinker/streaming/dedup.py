@@ -111,7 +111,6 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
     rpb = num_hashes // bands
 
     def _band_keys(sig):
-        from kglinker.ops.dedup import minhash_signatures  # noqa: F401
         hcols = [f"h{i}" for i in range(num_hashes)]
         exprs = []
         for b in range(bands):
