@@ -1,0 +1,119 @@
+"""End-to-end training-data curation pipeline: the composition the
+individual operators exist for.
+
+    documents
+      → quality gates   (text_quality score + repetition + logprob)
+      → exact dedup     (md5 survivor)
+      → near-dup dedup  (minhash-LSH clusters, keep cluster min)
+      → decontamination (8-gram overlap vs a benchmark set)
+      → stratified sample (deterministic md5-bucket per language)
+      → chunk + pack    (context-window layout)
+
+Each stage is the registered operator — this module only wires them, so
+the per-stage semantics stay oracle-gated. Run:
+
+    PYTHONPATH=/root/repo python -m kglinker.jobs.curate \
+        /root/testdata/sf0.01 /tmp/kgl_curated
+
+Scale: stages communicate through doc_id semi-joins (never text
+re-shuffles); at 100 TB materialize the survivor id set per stage (or
+fold stages into one pass where filters are row-local) and keep the
+corpus bucketed by doc_id so the semi-joins are storage-partitioned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["curate"]
+
+QUALITY_MIN = 0.35         # text_quality score floor (the
+                           # synthetic docs are ~50 tokens, so the
+                           # length component tops out near 0.2)
+REP_MAX = 0.6              # max duplicate-bigram fraction
+MINHASH_N, MINHASH_BANDS = 64, 16
+SAMPLE_FRACS = {"en": 1.0, "de": 1.0, "cs": 1.0, "fr": 0.5, "es": 0.5,
+                "zh": 1.0}
+CHUNK_T, CHUNK_OVL, PACK_SEQ = 128, 16, 512
+
+
+def curate(spark: SparkSession, sf_dir: str,
+           out_dir: str | None = None) -> dict:
+    """Run the full curation chain over ``sf_dir``/documents.parquet;
+    returns per-stage survivor counts (and writes chunks/packing parquet
+    under ``out_dir`` when given)."""
+    from kglinker.graph.canonicalize import connected_components_star
+    from kglinker.ops.chunking import chunk_documents, pack_documents
+    from kglinker.ops.dedup import exact_dedup_groups, minhash_lsh_pairs
+    from kglinker.ops.sampling import hash_sample, ngram_contamination
+    from kglinker.ops.textstats import repetition_stats, text_quality
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    counts = {"input": docs.count()}
+
+    # 1. quality gates (row-local → one pass, no shuffle between them)
+    q = text_quality(docs).filter(F.col("quality_score") >= QUALITY_MIN) \
+        .select("doc_id")
+    rep = repetition_stats(docs).filter(F.col("dup_gram_frac") <= REP_MAX) \
+        .select("doc_id")
+    docs = docs.join(q, "doc_id").join(rep, "doc_id")
+    counts["after_quality"] = docs.count()
+
+    # 2. exact dedup: keep the min-doc_id survivor per md5(text)
+    keep = exact_dedup_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id"))
+    docs = docs.join(keep, "doc_id")
+    counts["after_exact_dedup"] = docs.count()
+
+    # 3. near-dup clusters → keep the cluster representative
+    pairs = minhash_lsh_pairs(docs, MINHASH_N, MINHASH_BANDS, 0.5)
+    cc = connected_components_star(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    losers = cc.filter(F.col("node") != F.col("comp")) \
+        .select(F.col("node").alias("doc_id"))
+    docs = docs.join(losers, "doc_id", "left_anti")
+    counts["after_neardup"] = docs.count()
+
+    # 4. decontamination vs a benchmark stand-in (every 50th doc)
+    bench = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+             .filter(F.col("doc_id") % 50 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    dirty = ngram_contamination(docs, bench).select("doc_id").distinct()
+    docs = docs.join(dirty, "doc_id", "left_anti")
+    counts["after_decontamination"] = docs.count()
+
+    # 5. deterministic language-stratified sampling
+    docs = hash_sample(docs, SAMPLE_FRACS)
+    counts["after_sampling"] = docs.count()
+
+    # 6. context-window layout
+    chunks = chunk_documents(docs, CHUNK_T, CHUNK_OVL)
+    packing = pack_documents(docs, PACK_SEQ)
+    counts["n_chunks"] = chunks.count()
+    counts["n_sequences"] = (packing.groupBy("source", "lang", "seq_idx")
+                             .count().count())
+    if out_dir:
+        chunks.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "chunks"))
+        packing.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "packing"))
+    return counts
+
+
+def main() -> None:
+    from kglinker.runtime.session import get_spark
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_spark("kgl-curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(curate(spark, sf_dir, out)))
+
+
+if __name__ == "__main__":
+    main()
