@@ -75,6 +75,11 @@ def pagerank(edges: DataFrame, iters: int = 3,
                                     * (F.coalesce(F.col("s"), F.lit(0.0))
                                        + F.lit(dangling / n)), 6)
                              .alias("rank")))
+            # materialize per round: the dangling collect above forces a
+            # job every iteration anyway, and without this the lineage
+            # re-runs all previous rounds each time — O(k²) join rounds
+            # (the CC per-round lifecycle; r4 review fix)
+            ranks = ranks.localCheckpoint(eager=True)
         else:
             # every node has degree ≥ 1 → receives ≥ 1 contribution;
             # formula kept verbatim from r3 (the DuckDB gate replays it)

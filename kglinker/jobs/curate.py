@@ -56,19 +56,31 @@ def curate(spark: SparkSession, sf_dir: str,
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     counts = {"input": docs.count()}
 
+    # each stage materializes its survivor set once (r4 review fix:
+    # lazy chaining re-ran every upstream stage per downstream count —
+    # O(stages²) full passes); the previous stage's cache is released
+    prev = [None]
+
+    def _mat(df, key):
+        df = df.persist()
+        counts[key] = df.count()
+        if prev[0] is not None:
+            prev[0].unpersist()
+        prev[0] = df
+        return df
+
     # 1. quality gates (row-local → one pass, no shuffle between them)
     q = text_quality(docs).filter(F.col("quality_score") >= QUALITY_MIN) \
         .select("doc_id")
     rep = repetition_stats(docs).filter(F.col("dup_gram_frac") <= REP_MAX) \
         .select("doc_id")
-    docs = docs.join(q, "doc_id").join(rep, "doc_id")
-    counts["after_quality"] = docs.count()
+    docs = _mat(docs.join(q, "doc_id").join(rep, "doc_id"),
+                "after_quality")
 
     # 2. exact dedup: keep the min-doc_id survivor per md5(text)
     keep = exact_dedup_groups(docs).select(
         F.col("keep_doc_id").alias("doc_id"))
-    docs = docs.join(keep, "doc_id")
-    counts["after_exact_dedup"] = docs.count()
+    docs = _mat(docs.join(keep, "doc_id"), "after_exact_dedup")
 
     # 3. near-dup clusters → keep the cluster representative
     pairs = minhash_lsh_pairs(docs, MINHASH_N, MINHASH_BANDS, 0.5)
@@ -77,32 +89,40 @@ def curate(spark: SparkSession, sf_dir: str,
                      F.col("doc_b").alias("dst")))
     losers = cc.filter(F.col("node") != F.col("comp")) \
         .select(F.col("node").alias("doc_id"))
-    docs = docs.join(losers, "doc_id", "left_anti")
-    counts["after_neardup"] = docs.count()
+    docs = _mat(docs.join(losers, "doc_id", "left_anti"),
+                "after_neardup")
 
     # 4. decontamination vs a benchmark stand-in (every 50th doc)
     bench = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
              .filter(F.col("doc_id") % 50 == 0)
              .select(F.col("doc_id").alias("bench_id"), "text"))
     dirty = ngram_contamination(docs, bench).select("doc_id").distinct()
-    docs = docs.join(dirty, "doc_id", "left_anti")
-    counts["after_decontamination"] = docs.count()
+    docs = _mat(docs.join(dirty, "doc_id", "left_anti"),
+                "after_decontamination")
 
     # 5. deterministic language-stratified sampling
-    docs = hash_sample(docs, SAMPLE_FRACS)
-    counts["after_sampling"] = docs.count()
+    docs = _mat(hash_sample(docs, SAMPLE_FRACS), "after_sampling")
 
     # 6. context-window layout
     chunks = chunk_documents(docs, CHUNK_T, CHUNK_OVL)
     packing = pack_documents(docs, PACK_SEQ)
     counts["n_chunks"] = chunks.count()
-    counts["n_sequences"] = (packing.groupBy("source", "lang", "seq_idx")
-                             .count().count())
+    # total sequences per group = ceil(group token total / PACK_SEQ) —
+    # counting DISTINCT seq_idx a doc starts in would under-report
+    # whenever a long document spans starter-less sequences (r4 review
+    # fix)
+    counts["n_sequences"] = int(
+        packing.groupBy("source", "lang")
+        .agg(F.ceil(F.sum("n_tokens") / PACK_SEQ).alias("ns"))
+        .agg(F.coalesce(F.sum("ns"), F.lit(0)).alias("t"))
+        .collect()[0]["t"])
     if out_dir:
         chunks.write.mode("overwrite").parquet(
             os.path.join(out_dir, "chunks"))
         packing.write.mode("overwrite").parquet(
             os.path.join(out_dir, "packing"))
+    if prev[0] is not None:
+        prev[0].unpersist()
     return counts
 
 

@@ -56,7 +56,10 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, workdir: str,
                                kb_snapshot=kb_snapshot)
     ckpt.run(transcripts, lambda part: extract_mentions(part, art),
              max_buckets=max_buckets)
-    if len(ckpt.done_buckets()) < n_buckets:
+    # completeness guard keyed on THIS run's snapshot (r4 review fix):
+    # buckets finished under an older kb_snapshot are stale, not done —
+    # counting them would silently mix old-KB mentions into the output
+    if len(ckpt.done_buckets(kb_snapshot)) < n_buckets:
         raise RuntimeError("pipeline interrupted (not all buckets done); "
                            "re-run to resume from lineage")
     mentions = ckpt.read_output(spark)

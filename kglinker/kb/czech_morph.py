@@ -67,6 +67,21 @@ _SINGULAR_ICE = frozenset({
     "skalice", "lipnice", "telnice",
 })
 
+_CZ_DIACRITICS = "áčďéěíňóřšťúůýž"
+
+# diacritic-free Czech toponyms the -ec / bare-c rules may decline (the
+# emit-nothing contract for everything else: a foreign -ec/-c name like
+# Quebec declines WITHOUT the fleeting e / feminine paradigm, so the
+# productive rules must not touch it — r4 review fix)
+_EC_TOWNS = frozenset({"liberec", "hradec", "jablonec", "kostelec"})
+_C_TOWNS = frozenset({"olomouc"})
+
+
+def _looks_czech(lw: str) -> bool:
+    """Word carries a Czech-specific letter — the cheap signal that the
+    productive Czech paradigms may apply to an unlisted name."""
+    return any(c in _CZ_DIACRITICS for c in lw)
+
 # feminine -a dative/locative stem-final alternations (žena paradigm)
 _FEM_DAT_ALT = [
     ("ck", "cce"), ("sk", "sce"),            # Franceska → Francesce
@@ -260,17 +275,27 @@ def decline_location_word(w: str) -> dict[str, list[str]] | None:
                 "loc": [s + "ni"], "instr": [s + "ní"]}
     # masc inanimate -ec, fleeting -e- (Liberec → Liberce, v Liberci,
     # Libercem; Hradec, Jablonec, Žatec) — must precede the generic
-    # soft-final rule ('c' is soft) because gender and instrumental differ
+    # soft-final rule ('c' is soft) because gender and instrumental
+    # differ. Applies only to names that look Czech (diacritic) or are
+    # dictionary-listed: a foreign -ec (Quebec) has no fleeting e
     if lw.endswith("ec") and len(lw) > 3:
+        if not (_looks_czech(lw) or lw in _EC_TOWNS):
+            return None   # conservative: emit nothing, not junk
         s = w[:-2] + w[-1]
         return {"gen": [s + "e"], "dat": [s + "i"], "acc": [w],
                 "loc": [s + "i"], "instr": [s + "em"]}
     # feminine soft finals (*píseň*-class; r3-verdict #3 breadth):
     # Olomouc → Olomouce / Olomouci / Olomoucí, Třebíč, Kroměříž, Dobříš,
-    # Jaroměř. Finals ď/ť/j stay conservative-None (mixed-gender shapes).
-    if lw.endswith(("c", "č", "š", "ž", "ř")):
+    # Jaroměř. Finals ď/ť/j stay conservative-None (mixed-gender shapes);
+    # a plain-c final needs the Czech-look signal or the dictionary list
+    # (Quebec/Chimac-style foreign names are masculine and decline
+    # differently — emit nothing for them)
+    if lw.endswith(("č", "š", "ž", "ř")) or (
+            lw.endswith("c") and (_looks_czech(lw) or lw in _C_TOWNS)):
         return {"gen": [w + "e"], "dat": [w + "i"], "acc": [w],
                 "loc": [w + "i"], "instr": [w + "í"]}
+    if lw.endswith("c"):
+        return None   # foreign bare-c final: conservative
     if lw[-1] not in _VOWELS and not lw.endswith(_SOFT_FINALS):
         alt = None
         for suf, rep in _FEM_DAT_ALT:

@@ -32,7 +32,31 @@ from pyspark.sql import functions as F
 from kglinker.ops.util import fround
 
 __all__ = ["exact_dedup_groups", "minhash_signatures", "minhash_lsh_pairs",
+           "minhash_band_exprs", "minhash_est_expr",
            "simhash_signatures", "simhash_pairs", "ngram_jaccard_pairs"]
+
+
+def minhash_band_exprs(num_hashes: int, bands: int) -> list[F.Column]:
+    """The banding scheme as struct(band, key) expressions over h0..h{n-1}
+    columns — ONE definition shared by the batch pair join and the
+    streaming admission state so they can never silently diverge."""
+    rows_per_band = num_hashes // bands
+    out = []
+    for b in range(bands):
+        cols = [f"h{i}" for i in
+                range(b * rows_per_band, (b + 1) * rows_per_band)]
+        out.append(F.struct(F.lit(b).alias("band"),
+                            F.concat_ws("|", *cols).alias("key")))
+    return out
+
+
+def minhash_est_expr(num_hashes: int, prefix_a: str = "a_",
+                     prefix_b: str = "b_") -> F.Column:
+    """est_sim = fraction of equal minhashes between two prefixed
+    signature column sets — shared batch/streaming definition."""
+    return sum(F.when(F.col(f"{prefix_a}h{i}") == F.col(f"{prefix_b}h{i}"),
+                      1).otherwise(0)
+               for i in range(num_hashes)) / F.lit(float(num_hashes))
 
 
 def _tokens(col: str = "text") -> F.Column:
@@ -87,14 +111,9 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
     Scale: the only join is the band-bucket equijoin (linear candidates);
     a pathological bucket (thousands of near-identical docs) is exactly the
     hot-key case AQE skew-split + salting handle."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes).cache()
     hcols = [f"h{i}" for i in range(num_hashes)]
-    band_exprs = []
-    for b in range(bands):
-        cols = hcols[b * rows_per_band:(b + 1) * rows_per_band]
-        band_exprs.append(F.struct(F.lit(b).alias("band"),
-                                   F.concat_ws("|", *cols).alias("key")))
+    band_exprs = minhash_band_exprs(num_hashes, bands)
     banded = sig.select("doc_id", F.explode(F.array(*band_exprs)).alias("bk")) \
                 .select("doc_id", F.col("bk.band").alias("band"),
                         F.col("bk.key").alias("key"))
@@ -109,8 +128,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
                     *[F.col(h).alias(f"a_{h}") for h in hcols])
     sb = sig.select(F.col("doc_id").alias("doc_b"),
                     *[F.col(h).alias(f"b_{h}") for h in hcols])
-    est = sum(F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0)
-              for h in hcols) / F.lit(float(num_hashes))
+    est = minhash_est_expr(num_hashes)
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("est_sim", fround(est, 4))
             .filter(F.col("est_sim") >= min_est)

@@ -108,35 +108,47 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
     os.makedirs(state_path, exist_ok=True)
     stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
     sig_dir = os.path.join(state_path, "sigs")
-    rpb = num_hashes // bands
+    hcols = [f"h{i}" for i in range(num_hashes)]
 
     def _band_keys(sig):
-        hcols = [f"h{i}" for i in range(num_hashes)]
-        exprs = []
-        for b in range(bands):
-            cols = hcols[b * rpb:(b + 1) * rpb]
-            exprs.append(F.struct(F.lit(b).alias("band"),
-                                  F.concat_ws("|", *cols).alias("key")))
+        # the SAME banding scheme as the batch operator (shared helper —
+        # r4 review fix: a divergence here would silently split the
+        # streaming admission from the batch near-dup semantics)
+        from kglinker.ops.dedup import minhash_band_exprs
+        exprs = minhash_band_exprs(num_hashes, bands)
         return (sig.select("doc_id", F.explode(F.array(*exprs)).alias("bk"),
                            *hcols)
                 .select("doc_id", F.col("bk.band").alias("band"),
                         F.col("bk.key").alias("key"), *hcols))
 
-    def _est(prefix_a, prefix_b):
-        return sum(F.when(F.col(f"{prefix_a}h{i}") == F.col(f"{prefix_b}h{i}"),
-                          1).otherwise(0)
-                   for i in range(num_hashes)) / F.lit(float(num_hashes))
-
     def sink(batch_df, batch_id: int) -> None:
         if int(batch_id) in _applied(state_path):
             return
         sp = batch_df.sparkSession
-        from kglinker.ops.dedup import minhash_signatures
+        from kglinker.ops.dedup import minhash_est_expr, minhash_signatures
         sig = minhash_signatures(batch_df, num_hashes)
-        bk = _band_keys(sig).cache()
-        hcols = [f"h{i}" for i in range(num_hashes)]
+        bk = _band_keys(sig)
+        # docs too short to shingle (< 3 tokens) produce NO signature;
+        # they go through an EXACT-dup channel (band −1, key = md5(text))
+        # instead of being silently dropped (r4 review fix) — a short doc
+        # can only duplicate another identical short doc
+        shorts = (batch_df.join(sig.select("doc_id"), "doc_id", "left_anti")
+                  .select("doc_id", F.lit(-1).alias("band"),
+                          F.md5("text").alias("key"),
+                          *[F.lit(None).cast("string").alias(h)
+                            for h in hcols]))
+        bk = bk.unionByName(shorts).cache()
+        est = minhash_est_expr(num_hashes, "a", "b")
 
-        # vs state: any band collision whose est reaches min_est kills
+        # a collision kills when est reaches min_est (signature rows) or
+        # exactly (the band −1 short-doc channel: same md5 key)
+        def _dead(colliding):
+            return (colliding
+                    .withColumn("est", F.when(F.col("band") == -1, 1.0)
+                                .otherwise(est))
+                    .filter(F.col("est") >= min_est)
+                    .select("doc_id").distinct())
+
         dead = None
         if os.path.exists(sig_dir):
             st = sp.read.parquet(sig_dir)
@@ -144,25 +156,22 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
                 st.alias("s"),
                 (F.col("n.band") == F.col("s.band"))
                 & (F.col("n.key") == F.col("s.key"))).select(
-                F.col("n.doc_id").alias("doc_id"),
+                F.col("n.doc_id").alias("doc_id"), F.col("n.band").alias("band"),
                 *[F.col(f"n.h{i}").alias(f"ah{i}") for i in range(num_hashes)],
                 *[F.col(f"s.h{i}").alias(f"bh{i}") for i in range(num_hashes)])
-            dead = (coll.withColumn("est", _est("a", "b"))
-                    .filter(F.col("est") >= min_est)
-                    .select("doc_id").distinct())
-        # within-batch: doc_a < doc_b collision → the larger id dies
+            dead = _dead(coll)
+        # within-batch: doc_a < doc_b collision -> the larger id dies
         a, b = bk.alias("a"), bk.alias("b")
-        intra = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                        & (F.col("a.key") == F.col("b.key"))
-                        & (F.col("a.doc_id") < F.col("b.doc_id")))
-                 .select(F.col("b.doc_id").alias("doc_id"),
-                         *[F.col(f"a.h{i}").alias(f"ah{i}")
-                           for i in range(num_hashes)],
-                         *[F.col(f"b.h{i}").alias(f"bh{i}")
-                           for i in range(num_hashes)])
-                 .withColumn("est", _est("a", "b"))
-                 .filter(F.col("est") >= min_est)
-                 .select("doc_id").distinct())
+        intra_coll = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                             & (F.col("a.key") == F.col("b.key"))
+                             & (F.col("a.doc_id") < F.col("b.doc_id")))
+                      .select(F.col("b.doc_id").alias("doc_id"),
+                              F.col("a.band").alias("band"),
+                              *[F.col(f"a.h{i}").alias(f"ah{i}")
+                                for i in range(num_hashes)],
+                              *[F.col(f"b.h{i}").alias(f"bh{i}")
+                                for i in range(num_hashes)]))
+        intra = _dead(intra_coll)
         dead = intra if dead is None else dead.unionByName(intra).distinct()
         survivors = bk.join(dead, "doc_id", "left_anti") \
                       .select("doc_id", "band", "key", *hcols)

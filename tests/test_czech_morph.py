@@ -183,8 +183,9 @@ LOCATION_GOLDENS: list[tuple[str, set[str]]] = [
     ("Prague", set()), ("Germany", set()), ("Czechia", set()),
     ("United States", set()), ("TGM", set()),
     # conservative: soft finals ď/ť stay None (mixed genders / fleeting
-    # vowels the rule paradigms can't see)
-    ("Třešť", set()),
+    # vowels the rule paradigms can't see); foreign -ec / bare-c names
+    # decline differently (Quebecu, not *Quebce/*Quebece) → emit nothing
+    ("Třešť", set()), ("Quebec", set()), ("Chimac", set()),
 ]
 
 

@@ -125,3 +125,28 @@ def test_stream_neardup_admission(spark, tmp_path):
                              str(tmp_path / "ck2")).awaitTermination()
     assert sorted(r["doc_id"] for r in
                   read_neardup_state(spark, state).collect()) == [1, 2, 11]
+
+
+def test_stream_neardup_short_docs_exact_channel(spark, tmp_path):
+    """Docs with <3 tokens can't shingle; they must flow through the
+    exact-dup channel instead of vanishing (r4 review fix): distinct
+    short docs are admitted, identical short content is dropped across
+    batches."""
+    import os
+
+    from kglinker.streaming.dedup import (read_neardup_state,
+                                          stream_neardup_documents)
+    inp, state, ck = (str(tmp_path / d) for d in ("in", "st", "ck"))
+    os.makedirs(inp)
+    _write_batch(spark, inp, [(1, "ok", "en", "web", 2),
+                              (2, "hi there", "en", "web", 8)], "b1")
+    stream_neardup_documents(spark, inp, state, ck).awaitTermination()
+    assert sorted(r["doc_id"] for r in
+                  read_neardup_state(spark, state).collect()) == [1, 2]
+
+    # batch 2: exact copy of doc 1's text + a new short doc
+    _write_batch(spark, inp, [(9, "ok", "en", "web", 2),
+                              (10, "fine", "en", "web", 4)], "b2")
+    stream_neardup_documents(spark, inp, state, ck).awaitTermination()
+    assert sorted(r["doc_id"] for r in
+                  read_neardup_state(spark, state).collect()) == [1, 2, 10]
