@@ -7,8 +7,9 @@ Ranks are fround-ed to 6 dp after every iteration so the computation is
 bit-reproducible across engines (the DuckDB oracle unrolls the same
 iterations — the IVF-Lloyd replay pattern).
 
-Scale: the edge list is persisted/co-partitioned once and reused every
-iteration (the shuffle key never changes, so AQE reuses the exchange);
+Scale: the edge list is degree-annotated and persisted/co-partitioned
+once and reused every iteration (the shuffle key never changes, so AQE
+reuses the exchange; pre-joining deg keeps each iteration to ONE join);
 rank state is a (node, rank) table, never driver-side. The iteration
 count is fixed and small (PageRank on KG entity graphs is used as a
 feature, not run to convergence). The final rank table is materialized
@@ -49,22 +50,31 @@ def pagerank(edges: DataFrame, iters: int = 3,
     if not directed:
         g = g.unionByName(edges.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst")))
-    g = g.persist()
+    # persist the DEGREE-ANNOTATED edge list: pre-joining deg once (r5)
+    # removes one join — and its exchanges — from EVERY iteration; the
+    # contribution arithmetic is unchanged (rank/deg per edge)
     deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = (g.select(F.col("src").alias("node"))
-             .unionByName(g.select(F.col("dst").alias("node")))
+    gd = g.join(deg, "src").persist()
+    # every edge survives into gd (its src has deg ≥ 1), so gd covers the
+    # full node set on both endpoints
+    nodes = (gd.select(F.col("src").alias("node"))
+             .unionByName(gd.select(F.col("dst").alias("node")))
              .distinct())
     n = nodes.count()
     ranks = nodes.withColumn("rank", fround(F.lit(1.0 / n), 6))
     base = (1.0 - damping) / n
+    # out-degree node set for the dangling anti-join, derived from the
+    # PERSISTED gd (deriving it from g would re-run the edge lineage —
+    # the whole extraction — once per iteration)
+    src_nodes = gd.select("src").distinct() if directed else None
     for _ in range(iters):
-        contribs = (g
-                    .join(ranks, g["src"] == ranks["node"])
-                    .join(deg, "src")
+        contribs = (gd
+                    .join(ranks, gd["src"] == ranks["node"])
                     .select(F.col("dst").alias("node"),
                             (F.col("rank") / F.col("deg")).alias("c")))
         if directed:
-            dangling = (ranks.join(deg, ranks["node"] == deg["src"],
+            dangling = (ranks.join(src_nodes,
+                                   ranks["node"] == src_nodes["src"],
                                    "left_anti")
                         .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                         .collect()[0][0])
@@ -87,5 +97,5 @@ def pagerank(edges: DataFrame, iters: int = 3,
                      .agg(fround(F.lit(base) + F.lit(damping) * F.sum("c"), 6)
                           .alias("rank")))
     ranks = ranks.localCheckpoint(eager=True)
-    g.unpersist()
+    gd.unpersist()
     return ranks

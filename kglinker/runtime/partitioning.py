@@ -20,7 +20,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_count", "salted_agg_sum", "repartition_by_conv"]
+__all__ = ["salted_count", "salted_agg_sum", "repartition_by_conv", "fan_out"]
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan under-parallelizes.
+
+    A small parquet file (or any file with one row group — row groups are
+    the split unit) plans as a single input partition, so every CPU-bound
+    per-row stage downstream (shingle hashing, simhash votes, embedding
+    dot products) runs serially on one core no matter how many executors
+    exist. At corpus scale the scan has thousands of splits and this is a
+    no-op — no shuffle is added; the condition only fires on the
+    small-file case.
+
+    Apply at SCAN sites (right after ``spark.read``): inspecting
+    ``df.rdd`` mid-pipeline finalizes an AQE plan and can materialize
+    upstream query stages.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def repartition_by_conv(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
