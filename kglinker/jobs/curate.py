@@ -92,9 +92,11 @@ def curate(spark: SparkSession, sf_dir: str,
     docs = _mat(docs.join(losers, "doc_id", "left_anti"),
                 "after_neardup")
 
-    # 4. decontamination vs a benchmark stand-in (every 50th doc)
-    bench = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-             .filter(F.col("doc_id") % 50 == 0)
+    # 4. decontamination vs a benchmark stand-in: every 50th SURVIVOR
+    # (r4 advice: sampling the raw corpus let a survivor be removed
+    # because its already-deduplicated near-duplicate landed in the
+    # benchmark set — silent over-removal in the funnel counts)
+    bench = (docs.filter(F.col("doc_id") % 50 == 0)
              .select(F.col("doc_id").alias("bench_id"), "text"))
     dirty = ngram_contamination(docs, bench).select("doc_id").distinct()
     docs = _mat(docs.join(dirty, "doc_id", "left_anti"),
@@ -107,12 +109,12 @@ def curate(spark: SparkSession, sf_dir: str,
     chunks = chunk_documents(docs, CHUNK_T, CHUNK_OVL)
     packing = pack_documents(docs, PACK_SEQ)
     counts["n_chunks"] = chunks.count()
-    # total sequences per group = ceil(group token total / PACK_SEQ) —
-    # counting DISTINCT seq_idx a doc starts in would under-report
-    # whenever a long document spans starter-less sequences (r4 review
-    # fix)
+    # total sequences per (group, shard) = ceil(shard token total /
+    # PACK_SEQ) — counting DISTINCT seq_idx a doc starts in would
+    # under-report whenever a long document spans starter-less sequences
+    # (r4 review fix); sequences are numbered per shard since r5
     counts["n_sequences"] = int(
-        packing.groupBy("source", "lang")
+        packing.groupBy("source", "lang", "shard")
         .agg(F.ceil(F.sum("n_tokens") / PACK_SEQ).alias("ns"))
         .agg(F.coalesce(F.sum("ns"), F.lit(0)).alias("t"))
         .collect()[0]["t"])

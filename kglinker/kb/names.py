@@ -209,7 +209,10 @@ def build_namelist(kb_scored: DataFrame,
         cap = (word_freq.join(tot, F.lower("word") == F.col("lw"))
                .filter(F.col("freq") / F.col("tot") > 0.5)
                .select(F.col("word").alias("surface")))
-        surname = surname.join(F.broadcast(cap), "surface", "left_semi")
+        # no broadcast hint (r4 verdict #3): cap is corpus-vocabulary-
+        # sized — size-based join selection + AQE pick the strategy, so
+        # a web-scale vocabulary can't pin executor memory
+        surname = surname.join(cap, "surface", "left_semi")
 
     # G11 pronouns + P7 nationality forms → fragment, senseless rows
     spark = kb_scored.sparkSession
@@ -231,10 +234,13 @@ def build_namelist(kb_scored: DataFrame,
     ).withColumn(
         "is_fragment", F.when(F.col("surface").isin(stop), F.lit(True)).otherwise(F.col("is_fragment")))
 
-    # A1 group-merge + A2 confidence-desc candidate ordering
+    # A1 group-merge + A2 confidence-desc candidate ordering. conf is a
+    # projection of the ENTIRE scored KB — no broadcast hint (r4 verdict
+    # #3): at 10^7–10^8-row KBs a forced broadcast is a driver/executor
+    # memory failure point; size-based selection + AQE choose.
     conf = kb_scored.select("kb_id", "confidence")
     merged = (all_rows
-              .join(F.broadcast(conf), "kb_id", "left")
+              .join(conf, "kb_id", "left")
               .groupBy("surface")
               .agg(
                   F.array_distinct(F.transform(

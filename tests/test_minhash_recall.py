@@ -96,3 +96,24 @@ def test_minhash_bands_never_all_pairs(spark):
                             bands=_MINHASH_BANDS, min_est=0.0).count()
     all_pairs = 80 * 79 // 2
     assert got < 0.05 * all_pairs, (got, all_pairs)
+
+
+def test_minhash_lsh_pairs_releases_signature_cache(spark):
+    """Cache lifecycle (r4 advice): repeated calls in one session must
+    not accumulate cached signature tables. Each call may retain its
+    own localCheckpoint'ed RESULT (freed when the DataFrame is GC'd),
+    so growth is bounded by one persisted RDD per call — the r4 code
+    left a cached 64-column signature table per call on top of that."""
+    rows = [(i, " ".join(_word(f"lc:{i}:{t}") for t in range(20)),
+             "en", "web", 0) for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    outs = []
+    for _ in range(3):
+        out = minhash_lsh_pairs(docs, num_hashes=8, bands=4, min_est=0.0)
+        out.count()
+        outs.append(out)
+    grown = jsc.getPersistentRDDs().size() - base
+    assert grown <= 3, f"leaked {grown} persisted RDDs over 3 calls"
