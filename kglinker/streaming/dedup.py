@@ -18,6 +18,13 @@ idempotent, and the batch-id marker only short-circuits the work. On
 Iceberg the append becomes ``MERGE INTO corpus USING batch ON text_hash
 WHEN NOT MATCHED THEN INSERT`` and the state IS the corpus table.
 
+Replay-skip markers are namespaced per stream (``docs`` here, ``sigs``
+for near-dup, ``edges`` for the graph merge — r4 advice), so multiple
+streams may share a ``state_path`` without batch N of one skipping
+batch N of another. Batch ids come from the CHECKPOINT: if you reset
+``checkpoint_path`` but keep ``state_path``, delete the stream's marker
+file too (the anti-join alone then keeps the replay correct here).
+
 Scale: the anti-join is new-batch × seen-hashes keyed by text_hash — on
 a cluster, bucket the state by ``text_hash`` so each micro-batch probes
 only its buckets (storage-partitioned join, no full-state shuffle); the
@@ -56,7 +63,7 @@ def stream_dedup_documents(spark: SparkSession, input_path: str,
     stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
 
     def sink(batch_df, batch_id: int) -> None:
-        if int(batch_id) in _applied(state_path):
+        if int(batch_id) in _applied(state_path, "docs"):
             return
         sp = batch_df.sparkSession
         hashed = batch_df.withColumn("text_hash", F.md5("text"))
@@ -70,7 +77,7 @@ def stream_dedup_documents(spark: SparkSession, input_path: str,
         else:
             new = survivors
         new.write.mode("append").parquet(target)
-        _mark_applied(state_path, batch_id)
+        _mark_applied(state_path, batch_id, "docs")
 
     writer = (stream.writeStream
               .foreachBatch(sink)
@@ -102,9 +109,24 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
     self-idempotent — a re-run batch collides with its own admitted
     signatures and admits nothing new.
 
+    Cross-batch APPROXIMATION (stated explicitly, r4 advice): admission
+    is judged against ADMITTED REPRESENTATIVES only, not against every
+    doc ever seen. A doc killed within its batch never enters the
+    signature state, so a later-arriving doc similar ONLY to that killed
+    doc is admitted — where the batch pipeline's connected-components
+    pass would have folded it into the same cluster. This is the
+    standard streaming-dedup trade (state stays one signature per
+    surviving doc); if transitive-closure semantics are required, also
+    append killed docs' signatures flagged ``dead`` and treat dead
+    collisions as kills — at the cost of state growing with raw-input
+    rather than surviving-doc count.
+
     Scale: bucket the state by band key on a cluster so each batch
-    probes only its buckets; signatures are ``bands`` short strings per
-    doc — the state stays a tiny fraction of corpus bytes."""
+    probes only its buckets — demonstrated in
+    tests/test_bucketed_join.py::test_neardup_sig_state_bucketed_probe_no_state_exchange
+    (state written ``bucketBy(band, key)`` → the probe SortMergeJoin has
+    ZERO exchange on the state side); signatures are ``bands`` short
+    strings per doc — the state stays a tiny fraction of corpus bytes."""
     os.makedirs(state_path, exist_ok=True)
     stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
     sig_dir = os.path.join(state_path, "sigs")
@@ -122,7 +144,7 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
                         F.col("bk.key").alias("key"), *hcols))
 
     def sink(batch_df, batch_id: int) -> None:
-        if int(batch_id) in _applied(state_path):
+        if int(batch_id) in _applied(state_path, "sigs"):
             return
         sp = batch_df.sparkSession
         from kglinker.ops.dedup import minhash_est_expr, minhash_signatures
@@ -177,7 +199,7 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
                       .select("doc_id", "band", "key", *hcols)
         survivors.write.mode("append").parquet(sig_dir)
         bk.unpersist()
-        _mark_applied(state_path, batch_id)
+        _mark_applied(state_path, batch_id, "sigs")
 
     writer = (stream.writeStream
               .foreachBatch(sink)

@@ -32,7 +32,14 @@ from kglinker.graph.triples import mention_entities
 __all__ = ["merge_edge_deltas", "stream_cooccurrence_edges", "read_edge_state"]
 
 _EDGES = "edges"
-_MARK = "_applied_batches.json"
+# replay-skip markers are NAMESPACED PER STREAM (r4 advice): pointing two
+# streams (edge merge + a dedup stream) at one state_path must not let
+# batch N of one silently skip batch N of the other. Marker semantics:
+# batch ids are assigned by the CHECKPOINT, so a marker only means
+# "applied" for the checkpoint it was written under — resetting
+# checkpoint_path while keeping state_path requires clearing the
+# matching marker file too (each stream documents its own pairing).
+_MARK = "_applied_batches_{stream}.json"
 
 
 def merge_edge_deltas(spark: SparkSession, delta: DataFrame,
@@ -59,17 +66,18 @@ def merge_edge_deltas(spark: SparkSession, delta: DataFrame,
         shutil.rmtree(old)
 
 
-def _applied(state_path: str) -> set[int]:
-    p = os.path.join(state_path, _MARK)
+def _applied(state_path: str, stream: str = "edges") -> set[int]:
+    p = os.path.join(state_path, _MARK.format(stream=stream))
     if not os.path.exists(p):
         return set()
     with open(p) as fh:
         return set(json.load(fh))
 
 
-def _mark_applied(state_path: str, batch_id: int) -> None:
-    done = _applied(state_path) | {int(batch_id)}
-    p = os.path.join(state_path, _MARK)
+def _mark_applied(state_path: str, batch_id: int,
+                  stream: str = "edges") -> None:
+    done = _applied(state_path, stream) | {int(batch_id)}
+    p = os.path.join(state_path, _MARK.format(stream=stream))
     tmp = p + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(sorted(done), fh)

@@ -70,7 +70,7 @@ def test_stream_dedup_merge_idempotent_without_marker(spark, tmp_path):
     q = stream_dedup_documents(spark, inp, state, ckpt)
     q.awaitTermination()
     # simulate a replay that lost the marker: clear applied-batch state
-    os.remove(os.path.join(state, "_applied_batches.json"))
+    os.remove(os.path.join(state, "_applied_batches_docs.json"))
     q2 = stream_dedup_documents(spark, inp, state, str(tmp_path / "ck2"))
     q2.awaitTermination()
     st = read_dedup_state(spark, state)
@@ -120,7 +120,7 @@ def test_stream_neardup_admission(spark, tmp_path):
                   read_neardup_state(spark, state).collect()) == [1, 2, 11]
 
     # marker-less replay of everything: self-collisions admit nothing
-    os.remove(os.path.join(state, "_applied_batches.json"))
+    os.remove(os.path.join(state, "_applied_batches_sigs.json"))
     stream_neardup_documents(spark, inp, state,
                              str(tmp_path / "ck2")).awaitTermination()
     assert sorted(r["doc_id"] for r in
