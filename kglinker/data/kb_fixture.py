@@ -183,6 +183,19 @@ KB_ROWS: list[tuple] = [
      "", "", "", "", "", "", "Czechia", "",
      "", "", "", "", "https://wiki.example/Usti_nad_Labem",
      600, 15000, 50),
+    # r5 G8-tail rows: fem i-stem ď/ť final (kost-class exonym) and the
+    # -j final (gender-shared subset) push the new paradigms through the
+    # namelist gate end-to-end
+    (27, "settlement", "Budapešť", "Budapešť (city)",
+     "", "", "Capital of Hungary on the Danube.",
+     "", "", "", "", "", "", "Hungary", "",
+     "", "", "", "", "https://wiki.example/Budapest",
+     900, 24000, 58),
+    (28, "settlement", "Hanoj", "Hanoj (city)",
+     "", "", "Capital of Vietnam on the Red River.",
+     "", "", "", "", "", "", "Vietnam", "",
+     "", "", "", "", "https://wiki.example/Hanoi",
+     500, 12000, 45),
 ]
 
 _FIELDS = [

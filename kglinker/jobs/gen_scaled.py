@@ -1,0 +1,61 @@
+"""Deterministic 10× scale-up of the sf0.1 test tables → an "sf1" dir.
+
+The driver ships sf{0.001,0.01,0.1} only; the full-headline scale-growth
+row (r4 verdict #8) needs the documents/embeddings/events tables one
+order of magnitude up. This synthesizes them deterministically from
+sf0.1 — K shifted copies (doc/event ids offset per copy, embedding ids
+likewise), written multi-partition so scans parallelize — and copies the
+small TPC-H tables through unchanged. No external data, no RNG.
+
+    PYTHONPATH=/root/repo python -m kglinker.jobs.gen_scaled \
+        [/root/testdata/sf0.1] [/tmp/kgl_sf1] [10]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+_COPY_TABLES = ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem"]
+_ID_OFFSET = 10_000_000
+
+
+def main() -> None:
+    from kglinker.runtime.session import get_spark
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/kgl_sf1"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark("kgl-gen-scaled")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(dst, exist_ok=True)
+
+    def scaled(table: str, *id_cols: str) -> None:
+        base = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
+        out = None
+        for i in range(k):
+            c = base
+            for id_col in id_cols:
+                c = c.withColumn(id_col,
+                                 F.col(id_col) + F.lit(i * _ID_OFFSET))
+            out = c if out is None else out.unionByName(c)
+        (out.repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst, f"{table}.parquet")))
+        print(f"{table}: x{k} -> "
+              f"{spark.read.parquet(os.path.join(dst, f'{table}.parquet')).count()} rows",
+              flush=True)
+
+    scaled("documents", "doc_id")
+    scaled("embeddings", "vec_id")
+    scaled("events", "event_id", "user_id")
+    for t in _COPY_TABLES:
+        spark.read.parquet(os.path.join(src, f"{t}.parquet")) \
+            .write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+    print("done:", dst, flush=True)
+
+
+if __name__ == "__main__":
+    main()

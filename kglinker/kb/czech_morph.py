@@ -26,9 +26,10 @@ instead encodes the standard, public Czech declension paradigms directly:
   vowel-final foreign words (Flannery, Curie).
 
 Emitted cases: genitive, dative, accusative, locative, instrumental (the
-oblique cases a text mentions; the vocative is deliberately NOT emitted —
-it is irregular, rarely written in transcripts, and for hard stems
-collides with short datives). Per-word alternative forms (e.g. dative
+oblique cases a text mentions; the vocative is OPT-IN via
+``czech_name_inflections(..., vocative=True)`` (r5) — it is rarely
+written in transcripts and for hard stems collides with short datives,
+so the namelist default leaves it off). Per-word alternative forms (e.g. dative
 Janu/Janovi) are cross-producted exactly like the reference's
 ``/``-alternative contract; the non-final words keep both short and long
 datives while the final (surname) slot uses the long ``-ovi`` form, which
@@ -224,6 +225,10 @@ def decline_location_word(w: str) -> dict[str, list[str]] | None:
       Liberci / Libercem; Hradec → Hradce),
     - fem soft finals c/č/š/ž/ř (*píseň*-class, r4: Olomouc → Olomouce /
       Olomouci / Olomoucí; Třebíč → Třebíče; Kroměříž → Kroměříže),
+    - fem i-stem ď/ť (*kost*-class, r5: Budapešť → Budapešti /
+      Budapeští; Třešť → Třešti),
+    - -j finals (r5: Hanoj → Hanoje / Hanoji; Dubaj → Dubaje — the
+      gender-shared case subset, instrumental withheld),
     - hard-consonant masc inanimate (Tábor → Tábora/Táboru, v Táboře;
       Londýn → v Londýně; accusative = nominative).
     """
@@ -273,6 +278,26 @@ def decline_location_word(w: str) -> dict[str, list[str]] | None:
         s = w[:-2] if lw[-2] == "e" else w[:-1]
         return {"gen": [s + "ně"], "dat": [s + "ni"], "acc": [w],
                 "loc": [s + "ni"], "instr": [s + "ní"]}
+    # feminine i-stem ď/ť finals (*kost*-class, r5 — the largest class
+    # the r4 rules left conservative-None): Budapešť → Budapešti /
+    # Budapeští, Třešť → Třešti (the -i genitive is the kost-class form;
+    # Třešť also admits píseň-class Třeště — emitting the shared valid
+    # subset, never junk). Orthography: ď/ť soften to d/t before i/í
+    # (loď → lodi). ď/ť are Czech-specific letters, so no foreign-name
+    # gate is needed.
+    if lw.endswith(("ď", "ť")):
+        s = w[:-1] + ("d" if lw[-1] == "ď" else "t")
+        return {"gen": [s + "i"], "dat": [s + "i"], "acc": [w],
+                "loc": [s + "i"], "instr": [s + "í"]}
+    # -j finals (r5): gender-mixed — Hanoj is feminine (instr Hanojí),
+    # Dubaj masculine inanimate (instr Dubajem) — but genitive -e,
+    # dative/locative -i and accusative = nominative COINCIDE across
+    # both paradigms, so emit that shared subset and keep the
+    # instrumental at the nominative (i.e. emit nothing new for it)
+    # rather than fabricate the wrong gender's form.
+    if lw.endswith("j"):
+        return {"gen": [w + "e"], "dat": [w + "i"], "acc": [w],
+                "loc": [w + "i"], "instr": [w]}
     # masc inanimate -ec, fleeting -e- (Liberec → Liberce, v Liberci,
     # Libercem; Hradec, Jablonec, Žatec) — must precede the generic
     # soft-final rule ('c' is soft) because gender and instrumental
@@ -286,7 +311,7 @@ def decline_location_word(w: str) -> dict[str, list[str]] | None:
                 "loc": [s + "i"], "instr": [s + "em"]}
     # feminine soft finals (*píseň*-class; r3-verdict #3 breadth):
     # Olomouc → Olomouce / Olomouci / Olomoucí, Třebíč, Kroměříž, Dobříš,
-    # Jaroměř. Finals ď/ť/j stay conservative-None (mixed-gender shapes);
+    # Jaroměř. Finals ď/ť/j are handled above (r5);
     # a plain-c final needs the Czech-look signal or the dictionary list
     # (Quebec/Chimac-style foreign names are masculine and decline
     # differently — emit nothing for them)
@@ -342,6 +367,45 @@ def _location_cached(name: str) -> tuple[str, ...]:
     return tuple(sorted(out))
 
 
+def vocative_masc_word(w: str) -> list[str]:
+    """Masculine vocative singular of one name word (r5, opt-in — see
+    :func:`czech_name_inflections`). Standard paradigm endings:
+    hard stems -e with the k/h/g/ch → -u split (Jane!, Nováku!),
+    r → ř after a consonant (Petře! but Viktore!), fleeting -ek → -ku
+    (Čapku!), -ec → -če (Němče!), -el → -le (Karle!, Havle!), soft
+    stems -i (Tomáši!), -a stems -o (Svobodo!), adjectival/-í/foreign
+    -y/-i and vowel finals keep the nominative."""
+    lw = w.lower()
+    if lw.endswith(("ý", "í", "y", "i")) or lw[-1] in "ouúůóéě":
+        return [w]
+    if lw.endswith("a"):
+        return [w[:-1] + "o"]
+    if lw.endswith(("gue", "que", "ge", "je", "e")):
+        return [w]                      # foreign mute/soft -e: unchanged
+    if lw.endswith("ek") and len(lw) > 3:
+        return [w[:-2] + "ku"]
+    if lw.endswith("ec") and len(lw) > 3:
+        return [w[:-2] + "če"]
+    if lw.endswith("el") and len(lw) > 3 and lw[-3] not in _VOWELS:
+        return [w[:-2] + "le"]
+    if lw.endswith(_SOFT_FINALS):
+        return [w + "i"]
+    if lw.endswith(("k", "h", "g", "ch")):
+        return [w + "u"]
+    if lw.endswith("r") and len(lw) >= 2 and lw[-2] not in _VOWELS:
+        return [w[:-1] + "ře"]
+    return [w + "e"]
+
+
+def vocative_fem_word(w: str) -> list[str]:
+    """Feminine vocative singular: -a → -o (Evo!, Anno!); everything
+    else (Marie, -ová/-á adjectival, consonant-final foreign) equals
+    the nominative."""
+    if w.lower().endswith("a") and not w.lower().endswith("á"):
+        return [w[:-1] + "o"]
+    return [w]
+
+
 def guess_gender(name: str) -> str:
     """Heuristic for KB rows without a gender attribute (the reference's
     namegen guesses when the input omits the kind column, README.md of
@@ -363,17 +427,26 @@ def _declinable(w: str) -> bool:
             and w.lower() not in NAME_PREPOSITIONS)
 
 
-def czech_name_inflections(name: str, gender: str = "") -> list[str]:
+def czech_name_inflections(name: str, gender: str = "",
+                           vocative: bool = False) -> list[str]:
     """All oblique-case surface forms of a person name (the nominative
     itself excluded), sorted. Per-word alternatives are cross-producted
     within each case (the reference's ``/``-alternatives contract,
     ``KB2namelist.py:96-129``); the final declinable word of masculine
-    dative/locative keeps only the long ``-ovi`` alternatives."""
-    return list(_inflections_cached(name, gender))
+    dative/locative keeps only the long ``-ovi`` alternatives.
+
+    ``vocative=True`` additionally emits the vocative ("Jane Nováku!" —
+    reference namegen emits it via the grammar_* files,
+    ``create_cedar.sh:136-142``). OPT-IN and off for the namelist
+    default: transcripts rarely write it, and hard-stem vocatives
+    collide with short datives, so the default keeps the r2-r4 surface
+    set byte-stable."""
+    return list(_inflections_cached(name, gender, vocative))
 
 
 @lru_cache(maxsize=8192)   # also called per-turn by the corpus generator
-def _inflections_cached(name: str, gender: str) -> tuple[str, ...]:
+def _inflections_cached(name: str, gender: str,
+                        vocative: bool = False) -> tuple[str, ...]:
     words = name.split(" ")
     if not words or not any(_declinable(w) for w in words):
         return ()
@@ -387,6 +460,8 @@ def _inflections_cached(name: str, gender: str) -> tuple[str, ...]:
             continue
         if g == "F":
             d = decline_fem_word(w, is_surname=(i == last_idx))
+            if vocative:
+                d["voc"] = vocative_fem_word(w)
         else:
             d = decline_masc_word(w)
             if i == last_idx:
@@ -394,11 +469,13 @@ def _inflections_cached(name: str, gender: str) -> tuple[str, ...]:
                     long = [f for f in d[case] if f.endswith("ovi")]
                     if long:
                         d[case] = long
+            if vocative:
+                d["voc"] = vocative_masc_word(w)
         d.setdefault("nom_var", [w])
         per_word.append(d)
 
     out: set[str] = set()
-    for case in CASES + ("nom_var",):
+    for case in CASES + (("voc",) if vocative else ()) + ("nom_var",):
         combos = [""]
         for d in per_word:
             alts = d.get(case) or [d["nom_var"][0]]

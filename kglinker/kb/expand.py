@@ -230,12 +230,15 @@ def nationality_variants(nat: str) -> list[str]:
     return sorted({v for f in forms for v in (f, f.lower(), f[:1].upper() + f[1:])})
 
 
-def czech_inflections(name: str, gender: str = "") -> list[str]:
+def czech_inflections(name: str, gender: str = "",
+                      vocative: bool = False) -> list[str]:
     """G8: Czech oblique-case forms of a person name — the rule-based
     declension generator (:mod:`kglinker.kb.czech_morph`), the from-scratch
     counterpart of the reference's namegen grammar system
     (``figa/make_automat/czechnames/namegen.py``, invoked from
     ``create_cedar.sh:136-142``). ``gender`` ∈ {M, F, ''} — empty guesses
-    like namegen does when the kind column is omitted."""
+    like namegen does when the kind column is omitted. ``vocative=True``
+    adds the vocative (namegen emits it; opt-in here — the namelist
+    default keeps the surface set byte-stable, r5)."""
     from kglinker.kb.czech_morph import czech_name_inflections
-    return czech_name_inflections(normalize_ws(name), gender)
+    return czech_name_inflections(normalize_ws(name), gender, vocative)

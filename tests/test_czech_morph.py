@@ -179,13 +179,22 @@ LOCATION_GOLDENS: list[tuple[str, set[str]]] = [
     ("Skalice", {"Skalici", "Skalicí"}),
     ("Lipnice", {"Lipnici", "Lipnicí"}),
     ("Telnice", {"Telnici", "Telnicí"}),
+    # r5 — fem i-stem ď/ť (kost-class): ď/ť soften to d/t before i/í.
+    # Třešť also admits píseň-class Třeště; the generator emits the
+    # kost-class subset, valid for both
+    ("Budapešť", {"Budapešti", "Budapeští"}),
+    ("Třešť", {"Třešti", "Třeští"}),
+    # r5 — -j finals: gen -e / dat,loc -i are shared by the feminine
+    # (Hanoj, instr Hanojí) and masc-inanimate (Dubaj, instr Dubajem)
+    # paradigms; the gender-ambiguous instrumental is withheld
+    ("Hanoj", {"Hanoje", "Hanoji"}),
+    ("Dubaj", {"Dubaje", "Dubaji"}),
     # conservative contract: unrecognized patterns emit NOTHING
     ("Prague", set()), ("Germany", set()), ("Czechia", set()),
     ("United States", set()), ("TGM", set()),
-    # conservative: soft finals ď/ť stay None (mixed genders / fleeting
-    # vowels the rule paradigms can't see); foreign -ec / bare-c names
-    # decline differently (Quebecu, not *Quebce/*Quebece) → emit nothing
-    ("Třešť", set()), ("Quebec", set()), ("Chimac", set()),
+    # conservative: foreign -ec / bare-c names decline differently
+    # (Quebecu, not *Quebce/*Quebece) → emit nothing
+    ("Quebec", set()), ("Chimac", set()),
 ]
 
 
@@ -270,3 +279,29 @@ def test_generator_structural_properties():
         assert czech_name_inflections(name, gender) == forms
 
     prop()
+
+
+# r5 — opt-in vocative (reference namegen emits it via grammar_* files;
+# our namelist default keeps it off so the r2-r4 surface set stays
+# byte-stable). (name, gender, forms that vocative=True must ADD.)
+VOCATIVE_GOLDENS: list[tuple[str, str, set[str]]] = [
+    ("Jan Novák", "M", {"Jane Nováku"}),
+    ("Petr Čapek", "M", {"Petře Čapku"}),
+    ("Tomáš Němec", "M", {"Tomáši Němče"}),
+    ("Karel Svoboda", "M", {"Karle Svobodo"}),
+    ("Václav Havel", "M", {"Václave Havle"}),
+    ("Eva Svobodová", "F", {"Evo Svobodová"}),
+    # adjectival surname keeps nominative in the vocative
+    ("Jiří Novotný", "M", set()),        # Jiří/Novotný both nominative
+    ("Marie Sychravová", "F", set()),    # -e given + -ová: nominative
+]
+
+
+@pytest.mark.parametrize("name,gender,added", VOCATIVE_GOLDENS,
+                         ids=[c[0] for c in VOCATIVE_GOLDENS])
+def test_vocative_opt_in(name, gender, added):
+    base = set(czech_name_inflections(name, gender))
+    with_voc = set(czech_name_inflections(name, gender, vocative=True))
+    assert with_voc - base == added
+    # opt-out default is byte-stable
+    assert czech_name_inflections(name, gender) == sorted(base)

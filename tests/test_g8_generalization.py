@@ -100,6 +100,15 @@ _LOC_ROWS = [
      "City at the Labe river confluence.", "", "", "", "", "", "",
      "Czechia", "", "", "", "", "", "https://wiki.example/Usti",
      600, 15000, 50),
+    # r5: fem i-stem ď/ť (kost-class) and -j finals
+    (24, "settlement", "Budapešť", "Budapešť (city)", "", "",
+     "Capital of Hungary on the Danube.", "", "", "", "", "", "",
+     "Hungary", "", "", "", "", "", "https://wiki.example/Budapest",
+     900, 24000, 58),
+    (25, "settlement", "Hanoj", "Hanoj (city)", "", "",
+     "Capital of Vietnam on the Red River.", "", "", "", "", "", "",
+     "Vietnam", "", "", "", "", "", "https://wiki.example/Hanoi",
+     500, 12000, 45),
 ]
 
 
@@ -124,6 +133,11 @@ def loc_artifacts(spark):
     ("lodí jsme pluli nad Ústím nad Labem po proudu .",
      "Ústím nad Labem", 23),
     ("muzeum v Ústí nad Labem otevřelo výstavu .", "Ústí nad Labem", 23),
+    # r5 paradigms end-to-end
+    ("konference v Budapešti skončila včera .", "Budapešti", 24),
+    ("letěli jsme nad Budapeští za soumraku .", "Budapeští", 24),
+    ("dorazili do Hanoje v noci .", "Hanoje", 25),
+    ("trh v Hanoji byl plný lidí .", "Hanoji", 25),
 ])
 def test_new_location_paradigms_link(loc_artifacts, text, surface, kb_id):
     from kglinker.extract.matcher import annotate_conversation
