@@ -53,7 +53,11 @@ def curate(spark: SparkSession, sf_dir: str,
     from kglinker.ops.sampling import hash_sample, ngram_contamination
     from kglinker.ops.textstats import repetition_stats, text_quality
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from kglinker.runtime.partitioning import fan_out
+    # fan_out at the scan (r5): the minhash/n-gram stages are CPU-bound
+    # per-row; a single-row-group test file would serialize them
+    docs = fan_out(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
     counts = {"input": docs.count()}
 
     # each stage materializes its survivor set once (r4 review fix:

@@ -91,6 +91,7 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
                              state_path: str, checkpoint_path: str,
                              num_hashes: int = 64, bands: int = 16,
                              min_est: float = 0.5,
+                             keep_dead_signatures: bool = False,
                              available_now: bool = True) -> StreamingQuery:
     """Streaming NEAR-dup admission: per micro-batch, minhash-sign the
     arriving documents and drop any doc whose estimated Jaccard vs an
@@ -109,17 +110,20 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
     self-idempotent — a re-run batch collides with its own admitted
     signatures and admits nothing new.
 
-    Cross-batch APPROXIMATION (stated explicitly, r4 advice): admission
-    is judged against ADMITTED REPRESENTATIVES only, not against every
-    doc ever seen. A doc killed within its batch never enters the
-    signature state, so a later-arriving doc similar ONLY to that killed
-    doc is admitted — where the batch pipeline's connected-components
-    pass would have folded it into the same cluster. This is the
-    standard streaming-dedup trade (state stays one signature per
-    surviving doc); if transitive-closure semantics are required, also
-    append killed docs' signatures flagged ``dead`` and treat dead
-    collisions as kills — at the cost of state growing with raw-input
-    rather than surviving-doc count.
+    Cross-batch APPROXIMATION (stated explicitly, r4 advice): with the
+    default ``keep_dead_signatures=False``, admission is judged against
+    ADMITTED REPRESENTATIVES only, not against every doc ever seen. A
+    doc killed within its batch never enters the signature state, so a
+    later-arriving doc similar ONLY to that killed doc is admitted —
+    where the batch pipeline's connected-components pass would have
+    folded it into the same cluster. This is the standard
+    streaming-dedup trade (state stays one signature per surviving
+    doc). ``keep_dead_signatures=True`` (r5) recovers the
+    transitive-closure semantics: killed docs' signatures are appended
+    too, flagged ``dead=true``, and collisions with dead rows kill —
+    at the cost of state growing with raw-input rather than
+    surviving-doc count. ``read_neardup_state`` returns only admitted
+    (non-dead) docs either way.
 
     Scale: bucket the state by band key on a cluster so each batch
     probes only its buckets — demonstrated in
@@ -196,7 +200,17 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
         intra = _dead(intra_coll)
         dead = intra if dead is None else dead.unionByName(intra).distinct()
         survivors = bk.join(dead, "doc_id", "left_anti") \
-                      .select("doc_id", "band", "key", *hcols)
+                      .select("doc_id", "band", "key", *hcols) \
+                      .withColumn("dead", F.lit(False))
+        if keep_dead_signatures:
+            # closure mode (r5): killed docs' signatures enter the state
+            # flagged dead so FUTURE batches still collide with them —
+            # the collision join above reads the whole state, dead rows
+            # included, so a dead collision kills exactly like a live one
+            killed = bk.join(dead, "doc_id", "left_semi") \
+                       .select("doc_id", "band", "key", *hcols) \
+                       .withColumn("dead", F.lit(True))
+            survivors = survivors.unionByName(killed)
         survivors.write.mode("append").parquet(sig_dir)
         bk.unpersist()
         _mark_applied(state_path, batch_id, "sigs")
@@ -210,6 +224,8 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
 
 
 def read_neardup_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """Admitted doc ids (one row per doc) from the signature state."""
+    """Admitted doc ids (one row per doc) from the signature state —
+    dead rows (closure mode) are not admissions."""
     return (spark.read.parquet(os.path.join(state_path, "sigs"))
+            .filter(~F.col("dead"))
             .select("doc_id").distinct())

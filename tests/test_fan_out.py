@@ -1,0 +1,34 @@
+"""fan_out (runtime/partitioning.py): the conditional scan fan-out must
+repartition a single-split scan AND be a strict no-op when the scan
+already parallelizes — the at-corpus-scale-this-adds-no-shuffle claim."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kglinker.runtime.partitioning import fan_out
+
+
+def test_fan_out_repartitions_single_split_scan(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1   # the driver test files are
+    # single-row-group → one split (the r4 cold-bench root cause)
+    fanned = fan_out(docs)
+    assert fanned.rdd.getNumPartitions() >= \
+        spark.sparkContext.defaultParallelism
+    # value-preserving: same rows, only the layout changes
+    assert fanned.count() == docs.count()
+    a = docs.select(F.sum(F.hash("doc_id", "text"))).collect()
+    b = fanned.select(F.sum(F.hash("doc_id", "text"))).collect()
+    assert a == b
+
+
+def test_fan_out_noop_on_parallel_input(spark):
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10000, 1, par * 2).withColumn(
+        "text", F.concat(F.lit("t"), F.col("id")))
+    out = fan_out(wide)
+    # SAME DataFrame object — no repartition node, no shuffle added
+    assert out is wide
+    assert "Exchange" not in out._jdf.queryExecution() \
+        .executedPlan().toString()

@@ -150,3 +150,40 @@ def test_stream_neardup_short_docs_exact_channel(spark, tmp_path):
     stream_neardup_documents(spark, inp, state, ck).awaitTermination()
     assert sorted(r["doc_id"] for r in
                   read_neardup_state(spark, state).collect()) == [1, 2, 10]
+
+
+def test_stream_neardup_dead_signatures_recover_closure(spark, tmp_path):
+    """Closure mode (r5): with keep_dead_signatures=True a doc similar
+    ONLY to a batch-killed doc is itself killed (the batch CC would
+    have folded it into the cluster); with the default it is admitted —
+    the documented approximation. Texts crafted so the REAL sha256
+    minhash at 128 hashes / 16 bands yields est(A,B)=0.789,
+    est(B,C)=0.734 (both collide in ≥1 band) but est(A,C)=0.563 with NO
+    band collision — deterministic, hash functions are fixed."""
+    from kglinker.streaming.dedup import (read_neardup_state,
+                                          stream_neardup_documents)
+    W = [f"w{i:02d}" for i in range(60)]
+    A = " ".join(W)
+    B = " ".join([f"b{i:02d}" for i in range(6)] + W[6:])
+    C = " ".join([f"b{i:02d}" for i in range(6)] + W[6:48]
+                 + [f"c{i:02d}" for i in range(12)])
+    params = dict(num_hashes=128, bands=16, min_est=0.65)
+
+    for mode, expect in ((False, [1, 10]), (True, [1])):
+        inp, state, ckpt = (str(tmp_path / f"{d}{mode}")
+                            for d in ("in", "st", "ck"))
+        os.makedirs(inp)
+        _write_batch(spark, inp, [_doc(1, A), _doc(2, B)], "b1")
+        stream_neardup_documents(spark, inp, state, ckpt,
+                                 keep_dead_signatures=mode,
+                                 **params).awaitTermination()
+        # B collides with A in-batch and dies in BOTH modes
+        assert sorted(r["doc_id"] for r in
+                      read_neardup_state(spark, state).collect()) == [1]
+        _write_batch(spark, inp, [_doc(10, C)], "b2")
+        stream_neardup_documents(spark, inp, state, ckpt,
+                                 keep_dead_signatures=mode,
+                                 **params).awaitTermination()
+        got = sorted(r["doc_id"] for r in
+                     read_neardup_state(spark, state).collect())
+        assert got == expect, (mode, got)
