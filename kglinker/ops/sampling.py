@@ -21,9 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kglinker.ops.util import explode_token_ngrams
+from kglinker.ops.util import explode_token_ngrams, fround
 
-__all__ = ["ngram_contamination", "hash_sample"]
+__all__ = ["ngram_contamination", "hash_sample",
+           "temperature_rates", "hash_sample_by_table"]
 
 
 def ngram_contamination(docs: DataFrame, bench: DataFrame,
@@ -71,3 +72,58 @@ def hash_sample(docs: DataFrame, fractions: dict[str, float],
         frac = F.when(cond, thr) if frac is None else frac.when(cond, thr)
     frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
     return docs.filter(bucket < frac)
+
+
+def temperature_rates(docs: DataFrame, stratum_col: str = "lang") -> DataFrame:
+    """(stratum, n_docs, n_tokens, p, rate): per-stratum sampling RATES
+    for temperature-balanced multilingual mixing at α = 0.5 (the
+    XLM/mBERT-style rebalancing: target mixture q_l ∝ p_l^α, achieved
+    WITHOUT upsampling by keeping stratum *l* at rate
+    p^(α−1)_l / max_m p^(α−1)_m — at α = 0.5 that is
+    ``rate_l = sqrt(p_min / p_l)``: the rarest stratum keeps everything,
+    hot strata downsample toward the tempered mixture).
+
+    α is pinned to 0.5 deliberately: the rate then needs only ``sqrt``
+    and division, both correctly-rounded under IEEE-754 in every engine
+    — the DuckDB oracle replays it bit-identically, which a general
+    ``pow`` (not correctly rounded) could not guarantee. Probabilities
+    are measured in TOKENS (the unit a training mixture is specified
+    in), not documents.
+
+    One aggregation over the corpus + a scalar-sized (per-stratum)
+    window — the profile table is |strata| rows, never corpus-sized."""
+    from pyspark.sql.window import Window
+    per = (docs.groupBy(F.col(stratum_col).alias("stratum"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(F.split("text", " "))).alias("n_tokens")))
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    p_min = F.min(p).over(w)
+    return (per.withColumn("p", p)
+            .withColumn("rate", F.sqrt(p_min / F.col("p")))
+            .select("stratum", "n_docs", "n_tokens",
+                    fround(F.col("p"), 6).alias("p"),
+                    fround(F.col("rate"), 6).alias("rate")))
+
+
+def hash_sample_by_table(docs: DataFrame, rates: DataFrame,
+                         stratum_col: str = "lang",
+                         key_col: str = "doc_id",
+                         rate_col: str = "rate") -> DataFrame:
+    """Deterministic stratified sample with DATA-DRIVEN rates: like
+    :func:`hash_sample` but the per-stratum fractions come from a
+    ``rates`` table (stratum, rate ∈ [0, 1]) instead of a Python dict —
+    the fully-distributed composition with :func:`temperature_rates`
+    (no ``collect`` between computing the mixture and applying it; on a
+    cluster the |strata|-row rate table broadcast-joins onto the scan).
+    Strata absent from ``rates`` are DROPPED, matching ``hash_sample``'s
+    explicit-mix contract. Keep rule: ``int(md5(key)[:4], 16) <
+    floor(rate * 65536)`` — a pure function of the row, identical
+    across engines, re-runs, and resumes."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4),
+                    16, 10).cast("long")
+    r = rates.select(F.col("stratum").alias(stratum_col),
+                     F.floor(F.col(rate_col) * 65536).alias("_thr"))
+    return (docs.join(r, stratum_col)
+            .filter(bucket < F.col("_thr"))
+            .drop("_thr"))

@@ -12,7 +12,7 @@ from kglinker.ops.util import fround
 
 __all__ = ["STOPWORDS", "LANG_MARKERS", "text_quality", "lang_id",
            "token_counts", "fingerprints", "word_freq_ratio",
-           "repetition_stats", "logprob_quality"]
+           "repetition_stats", "logprob_quality", "corpus_profile"]
 
 # top English function words (quality-gate stoplist)
 STOPWORDS = [
@@ -187,3 +187,31 @@ def logprob_quality(docs: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  fround(F.avg(F.log(F.col("c") / F.col("n"))), 4)
                  .alias("avg_logprob")))
+
+
+def corpus_profile(docs: DataFrame,
+                   by: list[str] | None = None) -> DataFrame:
+    """(by…, n_docs, n_tokens, n_chars, min_tokens, max_tokens,
+    p50_tokens, p95_tokens): the one-pass per-stratum corpus profile a
+    training run is planned against (mixture weights, packing budgets,
+    outlier cutoffs all read off this table).
+
+    ONE aggregation — the token count is computed in-row and every
+    statistic, including the exact percentiles, rides the same
+    map-side-combinable shuffle (``percentile`` keeps a per-group
+    counter map, fine for token-count-valued columns); output is
+    |strata| rows. ``percentile`` ≡ DuckDB ``quantile_cont``
+    bit-identically (interpolation parity proven by the
+    events_quantiles gate)."""
+    if by is None:
+        by = ["source", "lang"]
+    n = F.size(F.split(F.col("text"), " "))
+    return (docs.select(*by, n.alias("_nt"), F.length("text").alias("_nc"))
+            .groupBy(*by)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_nt").alias("n_tokens"),
+                 F.sum("_nc").alias("n_chars"),
+                 F.min("_nt").alias("min_tokens"),
+                 F.max("_nt").alias("max_tokens"),
+                 fround(F.expr("percentile(_nt, 0.5)"), 4).alias("p50_tokens"),
+                 fround(F.expr("percentile(_nt, 0.95)"), 4).alias("p95_tokens")))

@@ -62,3 +62,54 @@ def test_hash_sample_monotone_fractions(spark):
     big = {r["doc_id"] for r in
            hash_sample(docs, {"en": 0.6}).select("doc_id").collect()}
     assert small < big
+
+
+def test_temperature_rates_alpha_half(spark):
+    from kglinker.ops.sampling import hash_sample_by_table, temperature_rates
+    rows = []
+    # hot stratum: 80 docs x 10 tokens; rare: 5 docs x 10 tokens
+    for i in range(80):
+        rows.append((i, " ".join(f"a{j}" for j in range(10)), "en", "web", 0))
+    for i in range(5):
+        rows.append((1000 + i, " ".join(f"b{j}" for j in range(10)),
+                     "cs", "web", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    rates = {r["stratum"]: r for r in
+             temperature_rates(docs).collect()}
+    # the rarest stratum keeps everything; the hot one downsamples by
+    # sqrt(p_min/p) = sqrt(5/80) = 0.25
+    assert rates["cs"]["rate"] == 1.0
+    assert abs(rates["en"]["rate"] - 0.25) < 1e-6
+    assert rates["en"]["n_tokens"] == 800 and rates["cs"]["n_tokens"] == 50
+    # applying the rates moves the mixture toward the tempered target:
+    # en token share drops from 800/850 = 0.94 toward
+    # sqrt(0.94)/ (sqrt(0.94)+sqrt(0.06)) ≈ 0.80
+    sampled = hash_sample_by_table(docs, temperature_rates(docs))
+    by = {r["lang"]: r["n"] for r in
+          sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["cs"] == 5                      # rate 1.0 keeps all
+    share = by["en"] / (by["en"] + by["cs"])
+    assert share < 0.9                        # balanced-ward, md5-noisy
+    # determinism: same rows on a re-run
+    a = sorted(r["doc_id"] for r in sampled.collect())
+    b = sorted(r["doc_id"] for r in
+               hash_sample_by_table(docs, temperature_rates(docs)).collect())
+    assert a == b
+
+
+def test_corpus_profile_exact(spark):
+    from kglinker.ops.textstats import corpus_profile
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "web", 0),      # 3 tokens, 5 chars
+         (2, "d e f g", "en", "web", 0),    # 4 tokens, 7 chars
+         (3, "h i", "en", "books", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+    prof = {(r["source"], r["lang"]): r for r in corpus_profile(docs).collect()}
+    web = prof[("web", "en")]
+    assert (web["n_docs"], web["n_tokens"], web["n_chars"]) == (2, 7, 12)
+    assert (web["min_tokens"], web["max_tokens"]) == (3, 4)
+    assert web["p50_tokens"] == 3.5 and web["p95_tokens"] == 3.95
+    books = prof[("books", "en")]
+    assert (books["n_docs"], books["n_tokens"], books["min_tokens"],
+            books["max_tokens"]) == (1, 2, 2, 2)
