@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kglinker.ops.util import md5_bucket
+
 __all__ = ["chunk_documents", "pack_documents"]
 
 
@@ -89,10 +91,7 @@ def pack_documents(docs: DataFrame, seq_tokens: int = 512,
     if by is None:
         by = ["source", "lang"]
     n = F.size(F.split(F.col("text"), " "))
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-               16, 10).cast("long"),
-        F.lit(n_shards)).cast("int")
+    shard = F.pmod(md5_bucket(F.col("doc_id")), F.lit(n_shards)).cast("int")
     w = (Window.partitionBy(*by, "shard").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("n_tokens").over(w)

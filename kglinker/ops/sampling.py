@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kglinker.ops.util import explode_token_ngrams, fround
+from kglinker.ops.util import explode_token_ngrams, fround, md5_bucket
 
 __all__ = ["ngram_contamination", "hash_sample",
            "temperature_rates", "hash_sample_by_table"]
@@ -63,8 +63,7 @@ def hash_sample(docs: DataFrame, fractions: dict[str, float],
     decision). md5 of the row key makes the decision a pure function of
     the row, so re-runs, resumes, and other engines (the DuckDB oracle)
     select the identical row set."""
-    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4),
-                    16, 10).cast("long")
+    bucket = md5_bucket(F.col(key_col))
     frac = None
     for k in sorted(fractions):
         cond = F.col(stratum_col) == k
@@ -120,8 +119,7 @@ def hash_sample_by_table(docs: DataFrame, rates: DataFrame,
     explicit-mix contract. Keep rule: ``int(md5(key)[:4], 16) <
     floor(rate * 65536)`` — a pure function of the row, identical
     across engines, re-runs, and resumes."""
-    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4),
-                    16, 10).cast("long")
+    bucket = md5_bucket(F.col(key_col))
     r = rates.select(F.col("stratum").alias(stratum_col),
                      F.floor(F.col(rate_col) * 65536).alias("_thr"))
     return (docs.join(r, stratum_col)

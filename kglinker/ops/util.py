@@ -20,6 +20,16 @@ def fround_sql(expr: str, digits: int = 4) -> str:
     return f"floor(({expr}) * {scale}) / {scale}.0"
 
 
+def md5_bucket(col: F.Column) -> F.Column:
+    """Deterministic 16-bit bucket of a key: ``int(md5(key)[:4], 16)``
+    as a long in [0, 65536). ONE definition for every hash-bucket
+    decision (stratified sampling, data-driven rates, packing shards) —
+    the DuckDB twin is ``('0x' || substr(md5(key::VARCHAR), 1, 4))::INT``
+    and any change here must change every oracle together."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4),
+                  16, 10).cast("long")
+
+
 def explode_token_ngrams(docs, n: int, keep: list[str], out: str = "g"):
     """(keep..., g): token n-grams built *inside the row* with an
     index-aware ``transform`` over the split array — no posexplode + window

@@ -210,6 +210,15 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
             killed = bk.join(dead, "doc_id", "left_semi") \
                        .select("doc_id", "band", "key", *hcols) \
                        .withColumn("dead", F.lit(True))
+            if os.path.exists(sig_dir):
+                # replay idempotence (r5 review fix): a marker-less
+                # replayed batch self-collides on its OWN state rows and
+                # lands wholly in `dead` — docs already represented in
+                # the state (live or dead) must not be re-appended, or
+                # admitted docs would gain contradictory dead rows and
+                # the state would grow by a full batch per replay
+                seen_ids = sp.read.parquet(sig_dir).select("doc_id")
+                killed = killed.join(seen_ids, "doc_id", "left_anti")
             survivors = survivors.unionByName(killed)
         survivors.write.mode("append").parquet(sig_dir)
         bk.unpersist()
@@ -225,7 +234,12 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
 
 def read_neardup_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Admitted doc ids (one row per doc) from the signature state —
-    dead rows (closure mode) are not admissions."""
-    return (spark.read.parquet(os.path.join(state_path, "sigs"))
-            .filter(~F.col("dead"))
-            .select("doc_id").distinct())
+    dead rows (closure mode) are not admissions. Pre-r5 states lack the
+    ``dead`` column (every row was an admission): coalesce treats the
+    missing/null column as live, so legacy and mixed-schema states read
+    correctly (mergeSchema resolves the union of footers)."""
+    st = (spark.read.option("mergeSchema", "true")
+          .parquet(os.path.join(state_path, "sigs")))
+    if "dead" in st.columns:
+        st = st.filter(~F.coalesce(F.col("dead"), F.lit(False)))
+    return st.select("doc_id").distinct()

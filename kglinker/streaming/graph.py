@@ -67,11 +67,22 @@ def merge_edge_deltas(spark: SparkSession, delta: DataFrame,
 
 
 def _applied(state_path: str, stream: str = "edges") -> set[int]:
-    p = os.path.join(state_path, _MARK.format(stream=stream))
-    if not os.path.exists(p):
-        return set()
-    with open(p) as fh:
-        return set(json.load(fh))
+    done: set[int] = set()
+    paths = [os.path.join(state_path, _MARK.format(stream=stream))]
+    if stream == "edges":
+        # legacy pre-namespacing marker: honoring it keeps the replay
+        # guard intact across the rename for the EDGE stream, whose
+        # weight merge has no idempotence backstop (a double-applied
+        # batch double-counts weights). The dedup streams deliberately
+        # ignore it: their state anti-joins make re-processing safe,
+        # while skipping on a marker another stream wrote would drop
+        # data — the exact cross-stream bug the namespacing fixes.
+        paths.append(os.path.join(state_path, "_applied_batches.json"))
+    for p in paths:
+        if os.path.exists(p):
+            with open(p) as fh:
+                done |= set(json.load(fh))
+    return done
 
 
 def _mark_applied(state_path: str, batch_id: int,

@@ -187,3 +187,16 @@ def test_stream_neardup_dead_signatures_recover_closure(spark, tmp_path):
         got = sorted(r["doc_id"] for r in
                      read_neardup_state(spark, state).collect())
         assert got == expect, (mode, got)
+        # marker-less replay (reset checkpoint, keep state): every doc
+        # self-collides with its own state rows; admitted set AND state
+        # size must not change — in closure mode the replayed batch must
+        # NOT be re-appended as dead rows (r5 review fix)
+        n_rows = spark.read.parquet(os.path.join(state, "sigs")).count()
+        os.remove(os.path.join(state, "_applied_batches_sigs.json"))
+        stream_neardup_documents(spark, inp, state, str(tmp_path / f"ck2{mode}"),
+                                 keep_dead_signatures=mode,
+                                 **params).awaitTermination()
+        assert sorted(r["doc_id"] for r in
+                      read_neardup_state(spark, state).collect()) == expect
+        assert spark.read.parquet(
+            os.path.join(state, "sigs")).count() == n_rows
