@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from kglinker.ops.util import explode_token_ngrams, fround, md5_bucket
 
 __all__ = ["ngram_contamination", "hash_sample",
-           "temperature_rates", "hash_sample_by_table"]
+           "temperature_rates", "hash_sample_by_table",
+           "split_assign"]
 
 
 def ngram_contamination(docs: DataFrame, bench: DataFrame,
@@ -125,3 +126,33 @@ def hash_sample_by_table(docs: DataFrame, rates: DataFrame,
     return (docs.join(r, stratum_col)
             .filter(bucket < F.col("_thr"))
             .drop("_thr"))
+
+
+def split_assign(docs: DataFrame, weights: dict[str, float] | None = None,
+                 key_col: str = "doc_id") -> DataFrame:
+    """(input columns…, split): deterministic train/val/test assignment
+    by md5-bucket RANGES — the holdout-split primitive every dataset
+    release needs. Split names are processed in sorted order; split *s*
+    owns buckets ``[floor(cum_before·65536), floor(cum_incl·65536))``,
+    so assignments are (a) a pure function of the row key — stable
+    across re-runs, resumes, engines, and corpus growth (a doc never
+    changes split when other docs are added, the property row-number
+    splits lack), and (b) disjoint by construction. Rows beyond the
+    total weight (when Σweights < 1) are DROPPED, matching
+    :func:`hash_sample`'s explicit-mix contract; Σweights may not
+    exceed 1."""
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    bucket = md5_bucket(F.col(key_col))
+    expr = None
+    cum = 0.0
+    for name in sorted(weights):
+        cum += weights[name]
+        thr = F.lit(int(cum * 65536))
+        expr = (F.when(bucket < thr, name) if expr is None
+                else expr.when(bucket < thr, name))
+    return (docs.withColumn("split", expr)
+            .filter(F.col("split").isNotNull()))

@@ -113,3 +113,34 @@ def test_corpus_profile_exact(spark):
     books = prof[("books", "en")]
     assert (books["n_docs"], books["n_tokens"], books["min_tokens"],
             books["max_tokens"]) == (1, 2, 2, 2)
+
+
+def test_split_assign_deterministic_and_growth_stable(spark):
+    from kglinker.ops.sampling import split_assign
+    docs = spark.createDataFrame(
+        [(i, f"t {i}", "en", "web", 0) for i in range(2000)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+    got = {r["doc_id"]: r["split"]
+           for r in split_assign(docs).select("doc_id", "split").collect()}
+    # exhaustive (weights sum to 1) and roughly proportioned
+    assert len(got) == 2000
+    from collections import Counter
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 1800 and c["val"] < 100 and c["test"] < 100
+    # growth stability: adding docs never moves an existing assignment
+    more = spark.createDataFrame(
+        [(i, f"t {i}", "en", "web", 0) for i in range(4000)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+    got2 = {r["doc_id"]: r["split"]
+            for r in split_assign(more).select("doc_id", "split").collect()}
+    assert all(got2[k] == v for k, v in got.items())
+    # partial weights drop the remainder explicitly
+    sub = split_assign(docs, {"val": 0.25})
+    n = sub.count()
+    assert 0 < n < 2000
+    assert sub.select("split").distinct().collect()[0][0] == "val"
+    # over-unity weights rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_assign(docs, {"a": 0.7, "b": 0.7})
