@@ -24,3 +24,13 @@ def test_every_query_documented():
         docs += open(os.path.join(_REPO, f), encoding="utf-8").read()
     missing = [n for n in QUERIES if n not in docs]
     assert not missing, f"registry queries undocumented: {missing}"
+
+
+def test_readme_registry_count_matches():
+    """The README's 'registry: N operators' claim tracks the code (a
+    stale count was an r5 self-review finding — this pins it)."""
+    text = open(os.path.join(_REPO, "README.md"), encoding="utf-8").read()
+    m = re.search(r"registry: (\d+) operators", text)
+    assert m, "README no longer states the registry count"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} operators, registry has {len(QUERIES)}")
