@@ -77,21 +77,23 @@ def _gen_subnames(name: pd.Series) -> pd.Series:
 
 @F.pandas_udf(_VARIANT_SCHEMA)
 def _gen_inflections(surface: pd.Series, etype: pd.Series,
-                     gender: pd.Series) -> pd.Series:
+                     gender: pd.Series, vocative: pd.Series) -> pd.Series:
     """G8: Czech oblique-case forms from the declension generator
     (kglinker/kb/czech_morph.py — the from-scratch namegen counterpart).
     Like the reference (czechnames runs over every key_inflection,
     KB2namelist.py main loop), this applies to EVERY base surface (name,
     aliases, redirects) — persons get full-name declension plus the
     variant family per inflected form; location types get the
-    single-word place paradigms."""
+    single-word place paradigms. ``vocative`` (a literal column, r5)
+    opts person names into the vocative case — the namelist default is
+    off and byte-stable."""
     from kglinker.kb.czech_morph import czech_location_inflections
     out = []
-    for s, t, g in zip(surface, etype, gender):
+    for s, t, g, v in zip(surface, etype, gender, vocative):
         base = t.split(":")[0] if t else ""
         acc: set[str] = set()
         if base == "person":
-            for f in X.czech_inflections(s, g or ""):
+            for f in X.czech_inflections(s, g or "", vocative=bool(v)):
                 acc.add(f)
                 acc.update(X.person_variants(f))
         elif base in ("settlement", "country", "watercourse", "geo"):
@@ -136,7 +138,8 @@ def _base_surfaces(kb: DataFrame) -> DataFrame:
 
 def build_namelist(kb_scored: DataFrame,
                    word_freq: DataFrame | None = None,
-                   inflection_min_confidence: float | None = None) -> DataFrame:
+                   inflection_min_confidence: float | None = None,
+                   vocative: bool = False) -> DataFrame:
     """KB (with ``confidence``) → namelist
     ``(surface, kb_ids: array<long> conf-desc-ordered, is_fragment: bool)``.
 
@@ -149,6 +152,10 @@ def build_namelist(kb_scored: DataFrame,
     payload-size lever for reference-scale KBs (BENCH/BASELINE.md
     §KB-build scale probe): oblique forms of sub-threshold rows rarely
     win disambiguation, and G8 multiplies the surface count ~4×.
+
+    ``vocative=True`` (r5, opt-in): person surfaces additionally include
+    the vocative case ("Jane Nováku"), matching the reference namegen's
+    grammar output; the default keeps the surface set byte-stable.
     """
     base = _base_surfaces(kb_scored)
 
@@ -175,7 +182,8 @@ def build_namelist(kb_scored: DataFrame,
     inflected = (infl_base
                  .select("kb_id", "type",
                          F.explode(_gen_inflections(
-                             "surface", "type", "_gender"))
+                             "surface", "type", "_gender",
+                             F.lit(vocative)))
                          .alias("surface")))
 
     direct = (base.select("kb_id", "type", "surface")

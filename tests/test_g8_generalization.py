@@ -144,3 +144,31 @@ def test_new_location_paradigms_link(loc_artifacts, text, surface, kb_id):
     rows = annotate_conversation("c0", [(0, text)], loc_artifacts)
     kb_rows = [(r.surface, r.kb_id) for r in rows if r.mention_type == "kb"]
     assert (surface, kb_id) in kb_rows, kb_rows
+
+
+def test_vocative_opt_in_links_end_to_end(spark):
+    """r5: build_namelist(vocative=True) puts vocative surfaces in the
+    automaton, so an address-form mention ("Jane Nováku, ...") links —
+    while the DEFAULT build's surface set stays byte-identical to the
+    vocative-less one (the opt-out guarantee, asserted on the full
+    namelist, not just one name)."""
+    from kglinker.automaton.build import KB_PROJECTION_COLS, build_artifacts
+    from kglinker.extract.matcher import annotate_conversation
+    from kglinker.kb.names import build_namelist, build_subname_map
+    kb = score_kb(spark.createDataFrame(_ROWS, KB_SCHEMA))
+    nl_default = sorted(r["surface"] for r in build_namelist(kb).collect())
+    nl_off = sorted(r["surface"]
+                    for r in build_namelist(kb, vocative=False).collect())
+    assert nl_default == nl_off
+    nl_voc = build_namelist(kb, vocative=True)
+    voc_surfaces = {r["surface"] for r in nl_voc.collect()} - set(nl_default)
+    assert "Antoníne Dvořáku" in voc_surfaces     # hard -e + k → -u
+    assert "Karle Čapku" in voc_surfaces          # fleeting -el, -ek
+    art = build_artifacts(
+        [r.asDict() for r in kb.select(*KB_PROJECTION_COLS).collect()],
+        [r.asDict() for r in nl_voc.collect()],
+        [r.asDict() for r in build_subname_map(kb).collect()])
+    rows = annotate_conversation(
+        "c0", [(0, "Karle Čapku , vaše kniha vyšla .")], art)
+    kb_rows = [(r.surface, r.kb_id) for r in rows if r.mention_type == "kb"]
+    assert ("Karle Čapku", 2) in kb_rows, kb_rows
