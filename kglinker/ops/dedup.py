@@ -182,7 +182,12 @@ def simhash_signatures(docs: DataFrame, bits: int = 16) -> DataFrame:
         F.zip_with(votes, powers,
                    lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda a, x: a + x)
-    return docs.select("doc_id", sim.alias("simhash"))
+    # NULL text: the pre-r5 explode/groupBy plan (and the DuckDB oracle,
+    # which still replays it) drops such docs entirely; the in-row
+    # aggregate would instead emit (doc_id, NULL) and leak a null into
+    # downstream bitwiseXOR — keep the emitted row set identical
+    return (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", sim.alias("simhash")))
 
 
 def simhash_pairs(docs: DataFrame, bits: int = 16, k: int = 3) -> DataFrame:

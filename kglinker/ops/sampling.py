@@ -151,6 +151,13 @@ def split_assign(docs: DataFrame, weights: dict[str, float] | None = None,
     cum = 0.0
     for name in sorted(weights):
         cum += weights[name]
+        if abs(cum - 1.0) <= 1e-9:
+            # float accumulation can land at 0.99999999…: without the
+            # snap the last threshold becomes 65535, silently dropping
+            # bucket 65535 (~1/65536 of docs) from a weight set the
+            # user wrote to be exhaustive (mirrors the over-unity
+            # tolerance on the sum check above)
+            cum = 1.0
         thr = F.lit(int(cum * 65536))
         expr = (F.when(bucket < thr, name) if expr is None
                 else expr.when(bucket < thr, name))

@@ -69,7 +69,7 @@ def merge_edge_deltas(spark: SparkSession, delta: DataFrame,
 def _applied(state_path: str, stream: str = "edges") -> set[int]:
     done: set[int] = set()
     paths = [os.path.join(state_path, _MARK.format(stream=stream))]
-    if stream == "edges":
+    if stream == "edges" and os.path.exists(os.path.join(state_path, _EDGES)):
         # legacy pre-namespacing marker: honoring it keeps the replay
         # guard intact across the rename for the EDGE stream, whose
         # weight merge has no idempotence backstop (a double-applied
@@ -77,6 +77,12 @@ def _applied(state_path: str, stream: str = "edges") -> set[int]:
         # ignore it: their state anti-joins make re-processing safe,
         # while skipping on a marker another stream wrote would drop
         # data — the exact cross-stream bug the namespacing fixes.
+        # Gated on the edge table existing: pre-namespacing the shared
+        # marker was written by ALL streams, so a state_path that holds
+        # dedup state but no edge table carries a marker some OTHER
+        # stream wrote — honoring it there would silently skip edge
+        # batches whose ids happen to collide (data loss). No edge
+        # table ⇒ no edge batch was ever merged ⇒ nothing to guard.
         paths.append(os.path.join(state_path, "_applied_batches.json"))
     for p in paths:
         if os.path.exists(p):

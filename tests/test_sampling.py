@@ -144,3 +144,21 @@ def test_split_assign_deterministic_and_growth_stable(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         split_assign(docs, {"a": 0.7, "b": 0.7})
+
+
+def test_split_assign_float_cum_snap(spark):
+    """r5 ADVICE: weight sets whose floats sum to 1 only after snapping
+    (0.3+0.3+0.3+0.1 → 0.9999999999999999) must still be exhaustive —
+    without the snap, bucket 65535 (~1/65536 of docs) is silently
+    dropped. Include doc keys that md5-hash into bucket 65535."""
+    from kglinker.ops.sampling import split_assign
+    from kglinker.ops.util import md5_bucket
+    rows = [(i, "t", "en", "web", 0) for i in range(60000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    top = docs.select(md5_bucket(F.col("doc_id")).alias("b")) \
+              .filter(F.col("b") == 65535).count()
+    assert top > 0, "fixture must contain at least one bucket-65535 key"
+    w = {"a": 0.3, "b": 0.3, "c": 0.3, "d": 0.1}
+    assert abs(sum(w.values()) - 1.0) > 0 and abs(sum(w.values()) - 1.0) <= 1e-9
+    assert split_assign(docs, w).count() == 60000

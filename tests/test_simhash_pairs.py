@@ -85,3 +85,17 @@ def test_simhash_pairs_block_cover_with_remainder(spark):
     got = {(r["doc_a"], r["doc_b"])
            for r in simhash_pairs(docs, 18, 3).collect()}
     assert got == truth
+
+
+def test_simhash_null_text_dropped(spark):
+    """r5 ADVICE: the in-row rewrite must keep the pre-r5 emitted row set —
+    a NULL-text doc is dropped (as the explode/groupBy plan and the DuckDB
+    oracle do), not emitted with a NULL signature that would leak into
+    downstream bitwiseXOR."""
+    rows = [(0, "the quick brown fox", "en", "web", 0),
+            (1, None, "en", "web", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    got = simhash_signatures(docs, bits=64).collect()
+    assert [r["doc_id"] for r in got] == [0]
+    assert all(r["simhash"] is not None for r in got)

@@ -69,3 +69,27 @@ def test_merge_is_idempotent_per_batch(spark, tmp_path):
     assert got == 10
     # ...which is why the sink guards on batch_id (exercised above via the
     # checkpoint: re-running the stream with no new files merges nothing)
+
+
+def test_legacy_marker_ignored_without_edge_state(spark, tmp_path):
+    """r5 ADVICE: the legacy (pre-namespacing) `_applied_batches.json` was
+    written by ALL streams — at a state_path that has dedup state but no
+    edge table it must NOT suppress edge batches (no edge table ⇒ no edge
+    batch was ever merged here)."""
+    import json as _json
+
+    from kglinker.streaming.graph import _applied
+
+    state = str(tmp_path / "st")
+    os.makedirs(state)
+    with open(os.path.join(state, "_applied_batches.json"), "w") as fh:
+        _json.dump([0, 1, 2], fh)
+    # no edges/ subdir → legacy marker is some other stream's: ignored
+    assert _applied(state) == set()
+    # once an edge table exists, the legacy guard applies again
+    os.makedirs(os.path.join(state, "edges"))
+    assert _applied(state) == {0, 1, 2}
+    # namespaced marker is honored regardless
+    with open(os.path.join(state, "_applied_batches_edges.json"), "w") as fh:
+        _json.dump([7], fh)
+    assert _applied(state) == {0, 1, 2, 7}
