@@ -23,6 +23,28 @@ from pyspark.sql import functions as F
 __all__ = ["salted_count", "salted_agg_sum", "repartition_by_conv", "fan_out"]
 
 
+# Analyzed-plan nodes under which probing df.rdd is provably harmless:
+# leaf sources and narrow per-row ops — no Exchange can exist below them,
+# so finalizing the plan materializes nothing. Anything else (Join,
+# Aggregate, Window, RepartitionByExpression, …) means fan_out was called
+# mid-pipeline, where the probe would silently finalize AQE query stages.
+_SCAN_SAFE_NODES = frozenset(
+    {"Relation", "LogicalRDD", "Range", "Project", "Filter",
+     "SubqueryAlias", "DeduplicateWithinWatermark"})
+
+
+def _assert_scan_site(df: DataFrame) -> None:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _SCAN_SAFE_NODES:
+            raise ValueError(
+                f"fan_out must be applied at a SCAN site (scan/filter/"
+                f"project only); found a '{node}' node in the plan. "
+                f"Probing partitions mid-pipeline finalizes AQE query "
+                f"stages — fan the scan out BEFORE joins/aggregations.")
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the scan under-parallelizes.
 
@@ -34,10 +56,13 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     no-op — no shuffle is added; the condition only fires on the
     small-file case.
 
-    Apply at SCAN sites (right after ``spark.read``): inspecting
-    ``df.rdd`` mid-pipeline finalizes an AQE plan and can materialize
-    upstream query stages.
+    Scan-site-only is ENFORCED (r5 verdict): the analyzed plan must
+    contain nothing but leaf-source / narrow per-row nodes, else this
+    raises instead of silently finalizing AQE stages via the partition
+    probe. Under that invariant the ``df.rdd`` probe is harmless — there
+    is no exchange below it to materialize.
     """
+    _assert_scan_site(df)
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

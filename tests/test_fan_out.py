@@ -32,3 +32,22 @@ def test_fan_out_noop_on_parallel_input(spark):
     assert out is wide
     assert "Exchange" not in out._jdf.queryExecution() \
         .executedPlan().toString()
+
+
+def test_fan_out_rejects_mid_pipeline_call(spark):
+    """r5 verdict #4: a fan_out call past the scan (here: after a join)
+    must fail LOUD instead of silently finalizing AQE query stages via
+    the partition probe — and must fail before materializing anything."""
+    import pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    joined = docs.alias("a").join(
+        docs.select("doc_id").alias("b"), "doc_id")
+    with pytest.raises(ValueError, match="SCAN site"):
+        fan_out(joined)
+    agged = docs.groupBy("lang").count()
+    with pytest.raises(ValueError, match="SCAN site"):
+        fan_out(agged)
+    # filter/project over the scan remain allowed
+    assert fan_out(docs.filter(F.col("doc_id") >= 0)
+                   .select("doc_id", "text")).count() == docs.count()
