@@ -251,12 +251,32 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, k: int = 3) -> DataFrame:
             .distinct())
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact token-n-gram Jaccard inside (source, lang) blocks:
-    (doc_a, doc_b, jaccard ≥ threshold). Blocking keeps the pair space
-    quadratic only within blocks (the standard ER blocking pattern; the
-    unblocked scale path is minhash_lsh_pairs)."""
+def _jaccard_verify(cand: DataFrame, docs: DataFrame, n: int,
+                    threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard for a given (doc_a, doc_b) candidate table:
+    intersection counts come from two (doc_id, gram) equijoins bounded by
+    the candidate volume — never a block cross-product."""
+    from kglinker.ops.util import explode_token_ngrams
+    grams = explode_token_ngrams(docs, n, ["doc_id"]).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "g"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n_grams", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n_grams", "nb"), "doc_b")
+            .withColumn("jaccard", fround(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def _ngram_jaccard_exact(docs: DataFrame, n: int,
+                         threshold: float) -> DataFrame:
     from kglinker.ops.util import explode_token_ngrams
     grams = explode_token_ngrams(docs, n, ["doc_id", "source", "lang"]).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -277,3 +297,56 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                 F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        max_block_rows: int | None = 100_000) -> DataFrame:
+    """Token-n-gram Jaccard inside (source, lang) blocks:
+    (doc_a, doc_b, jaccard ≥ threshold). Blocking keeps the pair space
+    quadratic only within blocks (the standard ER blocking pattern; the
+    unblocked scale path is minhash_lsh_pairs).
+
+    Hot-block guard (r5 verdict #3): the per-gram equijoin is quadratic
+    *within* a block, and on a real corpus one block ("web","en") is 80%
+    of rows — an exact run there explodes at 100×. Blocks larger than
+    ``max_block_rows`` are therefore AUTO-ROUTED through the banded
+    minhash candidate path (band-collision candidates → exact Jaccard
+    verification, same output contract): precision stays exact, recall
+    inside a routed block becomes LSH-candidate-bounded (the documented
+    trade every near-dup pipeline makes at scale). Detection costs one
+    small block-count aggregation; the hot-block list collected to the
+    driver is bounded by block-key cardinality (the IVF-centroid-collect
+    precedent). ``max_block_rows=None`` disables the guard (exact
+    everywhere — the oracle-gate formulation)."""
+    hot: list = []
+    if max_block_rows is not None:
+        hot = [(r["source"], r["lang"]) for r in
+               docs.groupBy("source", "lang")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > max_block_rows).collect()]
+    if not hot:
+        return _ngram_jaccard_exact(docs, n, threshold)
+    from functools import reduce
+    is_hot = reduce(lambda x, y: x | y,
+                    [(F.col("source") == s) & (F.col("lang") == lg)
+                     for s, lg in hot])
+    exact = _ngram_jaccard_exact(docs.filter(~is_hot), n, threshold)
+    hotd = docs.filter(is_hot)
+    # candidates from minhash banding at the PRODUCTION parameters
+    # (64 hashes / 16 bands of 4: ≥1-band collision ≈ 1-(1-j⁴)¹⁶, i.e.
+    # ~0.9998 at j=0.8), constrained to the same block; no est filter —
+    # the exact verify below decides
+    cand = minhash_lsh_pairs(hotd, num_hashes=64, bands=16, min_est=0.0)
+    blk = docs.select("doc_id", "source", "lang")
+    cand = (cand.select("doc_a", "doc_b")
+            .join(blk.select(F.col("doc_id").alias("doc_a"),
+                             F.col("source").alias("_sa"),
+                             F.col("lang").alias("_la")), "doc_a")
+            .join(blk.select(F.col("doc_id").alias("doc_b"),
+                             F.col("source").alias("_sb"),
+                             F.col("lang").alias("_lb")), "doc_b")
+            .filter((F.col("_sa") == F.col("_sb"))
+                    & (F.col("_la") == F.col("_lb")))
+            .select("doc_a", "doc_b"))
+    routed = _jaccard_verify(cand, hotd, n, threshold)
+    return exact.unionByName(routed)

@@ -317,11 +317,7 @@ def lsh_neardup_pairs(emb: DataFrame, planes: list[list[float]],
             .select("vec_a", "vec_b", "cos_sim"))
 
 
-def cosine_pairs_same_label(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding near-dup pairs within a label block — kept as the exact
-    VERIFICATION stage over candidate blocks; the registered scale path
-    is :func:`lsh_neardup_pairs` (bucketed candidates)."""
-    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+def _cosine_pairs_exact(e: DataFrame, threshold: float) -> DataFrame:
     a, b = e.alias("a"), e.alias("b")
     sim = fround(
         F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -334,3 +330,52 @@ def cosine_pairs_same_label(emb: DataFrame, threshold: float = 0.95) -> DataFram
             .filter(F.col("cos_sim") >= threshold)
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"), "cos_sim"))
+
+
+def cosine_pairs_same_label(emb: DataFrame, threshold: float = 0.95,
+                            max_block_rows: int | None = 100_000) -> DataFrame:
+    """Embedding near-dup pairs within a label block — kept as the exact
+    VERIFICATION stage over candidate blocks; the registered scale path
+    is :func:`lsh_neardup_pairs` (bucketed candidates).
+
+    Hot-block guard (r5 verdict #3): the label self-join is quadratic
+    inside a block, and one popular label can be most of a real corpus.
+    Labels larger than ``max_block_rows`` are AUTO-ROUTED through banded
+    sign-LSH candidates *within the label* (band collision → exact cosine
+    verify, same output contract): precision stays exact, recall inside a
+    routed label becomes candidate-bounded. Detection is one small
+    label-count aggregation; the hot-label list is driver-collected,
+    bounded by label cardinality. ``max_block_rows=None`` disables the
+    guard (exact everywhere — the oracle-gate formulation)."""
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    hot: list = []
+    if max_block_rows is not None:
+        hot = [r["label"] for r in
+               emb.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > max_block_rows).collect()]
+    if not hot:
+        return _cosine_pairs_exact(e, threshold)
+    exact = _cosine_pairs_exact(e.filter(~F.col("label").isin(hot)), threshold)
+    hotd = e.filter(F.col("label").isin(hot))
+    dim = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+    planes = hyperplanes(16, dim)
+    bk = lsh_band_keys(hotd.select("vec_id", F.col("v").alias("embedding")),
+                       planes, bands=4) \
+        .join(hotd.select("vec_id", "label"), "vec_id") \
+        .select("vec_id", "label", "band", "key")
+    a, c = bk.alias("a"), bk.alias("b")
+    cand = (a.join(c, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    va = hotd.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
+    vb = hotd.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
+    sim = fround(_dot("av", "bv") / (_norm("av") * _norm("bv")), 4)
+    routed = (cand.join(va, "vec_a").join(vb, "vec_b")
+              .withColumn("cos_sim", sim)
+              .filter(F.col("cos_sim") >= threshold)
+              .select("vec_a", "vec_b", "cos_sim"))
+    return exact.unionByName(routed)
