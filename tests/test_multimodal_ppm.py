@@ -11,9 +11,10 @@ from kglinker.ops.multimodal import _decode_ppm, decode_media, synth_ppm
 
 def test_ppm_roundtrip_decode():
     b = synth_ppm(seed=7, width=12, height=5)
-    w, h, fh = _decode_ppm(b)
+    w, h, px = _decode_ppm(b)
     assert (w, h) == (12, 5)
-    assert fh == hashlib.md5(b[b.index(b"255\n") + 4:]).hexdigest()
+    assert px == b[b.index(b"255\n") + 4:]
+    assert len(hashlib.md5(px).hexdigest()) == 32
 
 
 def test_ppm_with_comment_header():
