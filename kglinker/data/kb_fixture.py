@@ -196,6 +196,13 @@ KB_ROWS: list[tuple] = [
      "", "", "", "", "", "", "Vietnam", "",
      "", "", "", "", "https://wiki.example/Hanoi",
      500, 12000, 45),
+    # r6 G2 row: a Svatý-named person pushes the saint cross-rewrites
+    # (Svatý/Sv./Sv — KB2namelist.py:283-290) through the namelist gate
+    (29, "person", "Svatý Václav", "Svatý Václav (duke)",
+     "", "", "Patron saint of Bohemia, duke of the Přemyslid dynasty.",
+     "M", "0907-01-01", "0935-09-28", "duke|patron saint", "Czech",
+     "", "", "", "", "", "", "", "https://wiki.example/Svaty_Vaclav",
+     1100, 26000, 95),
 ]
 
 _FIELDS = [

@@ -172,3 +172,29 @@ def test_vocative_opt_in_links_end_to_end(spark):
         "c0", [(0, "Karle Čapku , vaše kniha vyšla .")], art)
     kb_rows = [(r.surface, r.kb_id) for r in rows if r.mention_type == "kb"]
     assert ("Karle Čapku", 2) in kb_rows, kb_rows
+
+
+def test_g2_saint_mention_links(spark):
+    """r5 verdict #5: the G2 saint cross-rewrites (Svatý/Sv./Sv —
+    KB2namelist.py:283-290) must flow fixture → namelist → automaton →
+    matcher: an 'Sv. X' mention links to the Svatý-named KB entity (row
+    29), including an oblique inflected form."""
+    from kglinker.automaton.build import KB_PROJECTION_COLS, build_artifacts
+    from kglinker.data.kb_fixture import kb_df
+    from kglinker.extract.matcher import annotate_conversation
+    from kglinker.kb.names import build_namelist, build_subname_map
+    kb = score_kb(kb_df(spark))
+    art = build_artifacts(
+        [r.asDict() for r in kb.select(*KB_PROJECTION_COLS).collect()],
+        [r.asDict() for r in build_namelist(kb).collect()],
+        [r.asDict() for r in build_subname_map(kb).collect()])
+    for text, surface in [
+        ("socha Sv. Václav stojí na náměstí .", "Sv. Václav"),
+        ("legenda o knížeti jménem Svatý Václav .", "Svatý Václav"),
+        ("kostel Svatého Václava byl vysvěcen roku 930 .",
+         "Svatého Václava"),
+    ]:
+        rows = annotate_conversation("c0", [(0, text)], art)
+        kb_rows = [(r.surface, r.kb_id) for r in rows
+                   if r.mention_type == "kb"]
+        assert (surface, 29) in kb_rows, (text, kb_rows)
