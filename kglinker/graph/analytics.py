@@ -42,10 +42,10 @@ def pagerank(edges: DataFrame, iters: int = 3,
     normalization, and the rank mass of dangling nodes (no out-edges) is
     redistributed uniformly each iteration — the standard correction;
     without it sink nodes leak mass and ranks stop summing to 1. The
-    dangling mass is one scalar per iteration (a legitimately tiny
-    driver-side value, like the CC convergence probe); zero-in-degree
-    nodes are kept at the base + dangling share via a left join on the
-    node set."""
+    dangling mass is a 1-row in-plan aggregate broadcast onto the rank
+    update (r6: no per-iteration driver collect — one job per iteration,
+    the checkpoint); zero-in-degree nodes are kept at the base + dangling
+    share via a left join on the node set."""
     g = edges.select("src", "dst")
     if not directed:
         g = g.unionByName(edges.select(F.col("dst").alias("src"),
@@ -73,22 +73,27 @@ def pagerank(edges: DataFrame, iters: int = 3,
                     .select(F.col("dst").alias("node"),
                             (F.col("rank") / F.col("deg")).alias("c")))
         if directed:
-            dangling = (ranks.join(src_nodes,
-                                   ranks["node"] == src_nodes["src"],
-                                   "left_anti")
-                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                        .collect()[0][0])
+            # dangling mass stays IN-PLAN (r5 verdict #8): the 1-row
+            # aggregate is broadcast onto the per-node frame instead of
+            # collected, dropping the per-iteration driver job; the
+            # arithmetic is unchanged (same sum, same double division by
+            # n, fround after), so the gate stays hash-exact
+            dang = (ranks.join(src_nodes,
+                               ranks["node"] == src_nodes["src"],
+                               "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")))
             sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
             ranks = (nodes.join(sums, "node", "left")
+                     .crossJoin(F.broadcast(dang))
                      .select("node",
                              fround(F.lit(base) + F.lit(damping)
                                     * (F.coalesce(F.col("s"), F.lit(0.0))
-                                       + F.lit(dangling / n)), 6)
+                                       + F.col("_dm") / F.lit(float(n))), 6)
                              .alias("rank")))
-            # materialize per round: the dangling collect above forces a
-            # job every iteration anyway, and without this the lineage
-            # re-runs all previous rounds each time — O(k²) join rounds
-            # (the CC per-round lifecycle; r4 review fix)
+            # materialize per round: without this the lineage re-runs all
+            # previous rounds each time — O(k²) join rounds (the CC
+            # per-round lifecycle; r4 review fix). Now the ONLY job per
+            # iteration.
             ranks = ranks.localCheckpoint(eager=True)
         else:
             # every node has degree ≥ 1 → receives ≥ 1 contribution;

@@ -198,3 +198,25 @@ def test_lineage_snapshot_id_roundtrip(spark, tmp_path):
     assert {r["kb_snapshot"] for r in ck2.lineage_records()} == {"kb-snap-v2"}
     assert ck2.done_buckets("kb-snap-v1") == set()
     assert ck2.done_buckets() == {0, 1, 2, 3}
+
+
+def test_pagerank_directed_no_driver_collect_per_iteration(spark):
+    """r5 verdict #8: the dangling-mass scalar stays IN-PLAN (1-row
+    broadcast aggregate), removing the per-iteration driver collect.
+    Honest measurement (r6): job COUNT is unchanged at toy scale —
+    AQE query-stage jobs dominate (8/iteration either way) — so the win
+    is the removed driver sync point, not fewer jobs; this test pins the
+    per-iteration job count as a regression ceiling and the value parity
+    is the ⊕ kg_pagerank_directed gate."""
+    from kglinker.graph.analytics import pagerank
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 1)], "src long, dst long")
+    tracker = spark.sparkContext.statusTracker()
+
+    def run(iters):
+        before = len(tracker.getJobIdsForGroup(None))
+        pagerank(edges, iters=iters, directed=True)
+        return len(tracker.getJobIdsForGroup(None)) - before
+
+    per_iter = (run(4) - run(1)) / 3
+    assert per_iter <= 9, f"directed pagerank regressed to {per_iter} jobs/iter"
