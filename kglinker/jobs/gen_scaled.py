@@ -90,12 +90,22 @@ def main() -> None:
               f"{spark.read.parquet(os.path.join(dst, f'{table}.parquet')).count()} rows",
               flush=True)
 
-    scaled("documents", "doc_id")
-    scaled("embeddings", "vec_id")
-    scaled("events", "event_id", "user_id")
-    for t in _COPY_TABLES:
-        spark.read.parquet(os.path.join(src, f"{t}.parquet")) \
-            .write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+    # argv[4]: optional comma list restricting which big tables to build
+    # (e.g. "documents" for the r6 dedup sf10 probe — 100× documents is
+    # ~1.3 GB; scaling embeddings/events too would triple the gen cost
+    # for tables the probe never reads)
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    if only is None or "documents" in only:
+        scaled("documents", "doc_id")
+    if only is None or "embeddings" in only:
+        scaled("embeddings", "vec_id")
+    if only is None or "events" in only:
+        scaled("events", "event_id", "user_id")
+    if only is None:
+        for t in _COPY_TABLES:
+            spark.read.parquet(os.path.join(src, f"{t}.parquet")) \
+                .write.mode("overwrite") \
+                .parquet(os.path.join(dst, f"{t}.parquet"))
     print("done:", dst, flush=True)
 
 

@@ -103,7 +103,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
-                      bands: int = 4, min_est: float = 0.5) -> DataFrame:
+                      bands: int = 4, min_est: float = 0.5,
+                      stats: dict | None = None) -> DataFrame:
     """LSH candidate pairs: band = concat of num_hashes/bands signature
     columns; docs colliding in ≥1 band are candidates; est_sim = fraction
     of equal minhashes. Returns (doc_a, doc_b, est_sim) with doc_a<doc_b.
@@ -132,6 +133,11 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+    if stats is not None:
+        # candidate-volume telemetry (scale-probe only: each count is an
+        # extra pass, never enabled on the registered/bench path)
+        cand = cand.localCheckpoint(eager=True)
+        stats["n_candidates"] = cand.count()
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(h).alias(f"a_{h}") for h in hcols])
     sb = sig.select(F.col("doc_id").alias("doc_b"),
@@ -190,7 +196,8 @@ def simhash_signatures(docs: DataFrame, bits: int = 16) -> DataFrame:
             .select("doc_id", sim.alias("simhash")))
 
 
-def simhash_pairs(docs: DataFrame, bits: int = 16, k: int = 3) -> DataFrame:
+def simhash_pairs(docs: DataFrame, bits: int = 16, k: int = 3,
+                  stats: dict | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs whose simhash signatures differ in
     ≤ k bits — the near-dup semantics simhash users actually want (equal
     signatures is just a weaker exact dedup).
@@ -244,6 +251,9 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, k: int = 3) -> DataFrame:
     # candidate rows → 897 survivors), and this ordering keeps the
     # distinct's exchange to the survivor set instead of shuffling every
     # collision
+    if stats is not None:
+        # block-collision telemetry (scale-probe only; extra pass)
+        stats["n_collisions"] = cand.count()
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= k)
