@@ -91,6 +91,19 @@ def main() -> None:
                "n_collisions": st["n_collisions"], "n_out": n_pairs}
         print(json.dumps(row), flush=True)
 
+        # r6 combination scheme (B=6): same pair set, wider keys — the
+        # saturation fix measured head-to-head on the same corpus
+        t0 = time.time()
+        n_pairs6 = simhash_pairs(docs, **_SIMHASH, n_blocks=6).count()
+        wall = time.time() - t0
+        st = {}
+        simhash_pairs(docs, **_SIMHASH, n_blocks=6, stats=st).count()
+        row = {"query": "dedup_simhash_pairs_b6", "scale": scale,
+               "n_docs": n_docs, "wall_s": round(wall, 2),
+               "n_collisions": st["n_collisions"], "n_out": n_pairs6}
+        assert n_pairs6 == n_pairs, "combination scheme lost pairs"
+        print(json.dumps(row), flush=True)
+
 
 if __name__ == "__main__":
     main()

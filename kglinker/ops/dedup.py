@@ -197,6 +197,7 @@ def simhash_signatures(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, bits: int = 16, k: int = 3,
+                  n_blocks: int | None = None,
                   stats: dict | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs whose simhash signatures differ in
     ≤ k bits — the near-dup semantics simhash users actually want (equal
@@ -213,8 +214,25 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, k: int = 3,
     corpus; a pathological block value (thousands of identical docs) is
     the hot-key case AQE skew-split handles. Signatures may be negative
     (bit 63 = sign bit): ``shiftright`` is arithmetic, but the mask keeps
-    only the block's low bits, which shift direction cannot change."""
-    n_blocks = k + 1
+    only the block's low bits, which shift direction cannot change.
+
+    ``n_blocks`` (r6, default ``k+1``) is the collision/row-count dial
+    for corpora where the k+1 scheme's keys saturate — the r6 scale
+    probe measured collisions/doc DOUBLING at 500k docs with 16-bit
+    keys. Setting ``n_blocks = B > k+1`` switches to the
+    block-combination scheme (Manku et al., WWW'07 §3): candidates must
+    agree on ALL blocks of some (B−k)-subset. Still LOSSLESS by
+    pigeonhole (≤k differing bits touch ≤k blocks, so some B−k blocks
+    are all untouched), at C(B, B−k) exploded keys per doc instead of
+    k+1 — e.g. B=6, k=3, 64 bits: 20 keys/doc on ~32-bit values, ~2^16×
+    fewer random same-key pairs. Trade rows for collisions when the
+    per-shard corpus passes ~10⁵–10⁶ docs."""
+    n_blocks = (k + 1) if n_blocks is None else n_blocks
+    if n_blocks < k + 1:
+        raise ValueError(f"n_blocks ({n_blocks}) must be ≥ k+1 ({k + 1}) "
+                         "for lossless pigeonhole banding")
+    if n_blocks > bits:
+        raise ValueError(f"n_blocks ({n_blocks}) exceeds signature bits")
     base = bits // n_blocks
     rem = bits % n_blocks
     # materialize the signature once: it feeds both sides of the block
@@ -224,14 +242,37 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, k: int = 3,
     sig = simhash_signatures(docs, bits).localCheckpoint(eager=True)
     # block b covers [off_b, off_b + len_b) low-to-high bits; first `rem`
     # blocks get the extra bit so every bit lands in exactly one block
-    blocks, off = [], 0
+    key_exprs, lengths, off = [], [], 0
     for b in range(n_blocks):
         length = base + (1 if b < rem else 0)
         mask = (1 << length) - 1
-        blocks.append(F.struct(
-            F.lit(b).alias("block"),
-            F.shiftright("simhash", off).bitwiseAND(F.lit(mask)).alias("key")))
+        key_exprs.append(
+            F.shiftright("simhash", off).bitwiseAND(F.lit(mask)))
+        lengths.append(length)
         off += length
+    if n_blocks == k + 1:
+        # classic scheme: one key per block (plan unchanged from r5 —
+        # the registered gate's oracle replays exactly this)
+        blocks = [F.struct(F.lit(b).alias("block"),
+                           key_exprs[b].alias("key"))
+                  for b in range(n_blocks)]
+    else:
+        # combination scheme: one key per (B−k)-subset of blocks, the
+        # sub-keys BIT-PACKED into one long (sum of any B−k block
+        # lengths ≤ 64; packing is injective, so join equality ≡
+        # per-block equality) — longs keep the 5× row explode cheap
+        # (a concat-string key measured 2.6× slower at 500k docs)
+        import itertools
+        combos = list(itertools.combinations(range(n_blocks), n_blocks - k))
+        blocks = []
+        for ci, combo in enumerate(combos):
+            packed, shift = None, 0
+            for b in combo:
+                part = F.shiftleft(key_exprs[b], shift)
+                packed = part if packed is None else packed.bitwiseOR(part)
+                shift += lengths[b]
+            blocks.append(F.struct(F.lit(ci).alias("block"),
+                                   packed.alias("key")))
     banded = (sig.select("doc_id", "simhash",
                          F.explode(F.array(*blocks)).alias("bk"))
               .select("doc_id", "simhash", F.col("bk.block").alias("block"),

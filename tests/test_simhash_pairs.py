@@ -99,3 +99,30 @@ def test_simhash_null_text_dropped(spark):
     got = simhash_signatures(docs, bits=64).collect()
     assert [r["doc_id"] for r in got] == [0]
     assert all(r["simhash"] is not None for r in got)
+
+
+@pytest.mark.parametrize("bits,k,nb", [(64, 3, 6), (64, 3, 5), (64, 2, 6),
+                                       (16, 3, 8), (64, 1, 4)])
+def test_simhash_combination_scheme_equal_bruteforce(spark, bits, k, nb):
+    """r6: the Manku block-combination scheme (B > k+1 blocks, candidates
+    agree on some (B−k)-subset) must remain LOSSLESS — identical pair set
+    to brute force, hence to the classic k+1 scheme — while using C(B,B−k)
+    wider keys (the collision dial for saturated corpora)."""
+    docs = _docs(spark)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, bits).collect()}
+    ids = sorted(sigs)
+    truth = {(a, b, _ham(sigs[a], sigs[b]))
+             for i, a in enumerate(ids) for b in ids[i + 1:]
+             if _ham(sigs[a], sigs[b]) <= k}
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in simhash_pairs(docs, bits, k, n_blocks=nb).collect()}
+    assert got == truth
+
+
+def test_simhash_combination_scheme_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="k\\+1"):
+        simhash_pairs(docs, 64, 3, n_blocks=3)
+    with pytest.raises(ValueError, match="exceeds"):
+        simhash_pairs(docs, 16, 3, n_blocks=17)
