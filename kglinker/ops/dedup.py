@@ -293,13 +293,34 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, k: int = 3,
     # distinct's exchange to the survivor set instead of shuffling every
     # collision
     if stats is not None:
-        # block-collision telemetry (scale-probe only; extra pass)
+        # block-collision telemetry (scale-probe only): checkpoint before
+        # counting so the banded self-join — the expensive stage being
+        # measured — runs once, not once per consumer (r6 review; the
+        # minhash telemetry already did this)
+        cand = cand.localCheckpoint(eager=True)
         stats["n_collisions"] = cand.count()
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= k)
             .select("doc_a", "doc_b", "hamming")
             .distinct())
+
+
+def _jaccard_finalize(inter: DataFrame, sizes: DataFrame,
+                      threshold: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard ≥ threshold) from per-pair intersection
+    counts + per-doc gram counts — ONE definition of the jaccard formula
+    and its 4 dp rounding shared by the exact and routed paths (the gate
+    is hash-exact on this arithmetic; two copies could silently diverge)."""
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n_grams", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n_grams", "nb"), "doc_b")
+            .withColumn("jaccard", fround(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
 
 
 def _jaccard_verify(cand: DataFrame, docs: DataFrame, n: int,
@@ -315,15 +336,7 @@ def _jaccard_verify(cand: DataFrame, docs: DataFrame, n: int,
     inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "g"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
-    return (inter
-            .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                  .withColumnRenamed("n_grams", "na"), "doc_a")
-            .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                  .withColumnRenamed("n_grams", "nb"), "doc_b")
-            .withColumn("jaccard", fround(
-                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    return _jaccard_finalize(inter, sizes, threshold)
 
 
 def _ngram_jaccard_exact(docs: DataFrame, n: int,
@@ -332,22 +345,18 @@ def _ngram_jaccard_exact(docs: DataFrame, n: int,
     grams = explode_token_ngrams(docs, n, ["doc_id", "source", "lang"]).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
-    inter = (a.join(b, (F.col("a.source") == F.col("b.source"))
-                    & (F.col("a.lang") == F.col("b.lang"))
+    # eqNullSafe on the block keys: NULL lang/source is a REAL block
+    # (the hot-block detector's groupBy already treats it as one; the
+    # oracle replays IS NOT DISTINCT FROM) — a plain equality here would
+    # silently emit zero pairs for NULL-keyed blocks (r6 review)
+    inter = (a.join(b, F.col("a.source").eqNullSafe(F.col("b.source"))
+                    & F.col("a.lang").eqNullSafe(F.col("b.lang"))
                     & (F.col("a.g") == F.col("b.g"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
              .agg(F.count(F.lit(1)).alias("n_inter")))
-    return (inter
-            .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                  .withColumnRenamed("n_grams", "na"), "doc_a")
-            .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                  .withColumnRenamed("n_grams", "nb"), "doc_b")
-            .withColumn("jaccard", fround(
-                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4))
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    return _jaccard_finalize(inter, sizes, threshold)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -378,8 +387,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     if not hot:
         return _ngram_jaccard_exact(docs, n, threshold)
     from functools import reduce
+    # eqNullSafe: a NULL block-key half (failed lang detection is common)
+    # must match its own block, not poison the predicate to NULL and drop
+    # every doc sharing the other half from BOTH paths (r6 review)
     is_hot = reduce(lambda x, y: x | y,
-                    [(F.col("source") == s) & (F.col("lang") == lg)
+                    [F.col("source").eqNullSafe(F.lit(s))
+                     & F.col("lang").eqNullSafe(F.lit(lg))
                      for s, lg in hot])
     exact = _ngram_jaccard_exact(docs.filter(~is_hot), n, threshold)
     hotd = docs.filter(is_hot)
@@ -396,8 +409,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             .join(blk.select(F.col("doc_id").alias("doc_b"),
                              F.col("source").alias("_sb"),
                              F.col("lang").alias("_lb")), "doc_b")
-            .filter((F.col("_sa") == F.col("_sb"))
-                    & (F.col("_la") == F.col("_lb")))
+            .filter(F.col("_sa").eqNullSafe(F.col("_sb"))
+                    & F.col("_la").eqNullSafe(F.col("_lb")))
             .select("doc_a", "doc_b"))
     routed = _jaccard_verify(cand, hotd, n, threshold)
     return exact.unionByName(routed)

@@ -113,9 +113,10 @@ def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
         (length,) = struct.unpack(">I", b[pos:pos + 4])
         typ = b[pos + 4:pos + 8]
         data = b[pos + 8:pos + 8 + length]
-        if len(data) != length:
+        crc_raw = b[pos + 8 + length:pos + 12 + length]
+        if len(data) != length or len(crc_raw) != 4:
             raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack(">I", b[pos + 8 + length:pos + 12 + length])
+        (crc,) = struct.unpack(">I", crc_raw)
         if crc != zlib.crc32(typ + data):
             raise ValueError(f"PNG CRC mismatch in {typ!r}")
         if typ == b"IHDR":

@@ -241,7 +241,9 @@ def ivf_fit(emb: DataFrame, n_centroids: int = 8,
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = 8, kmeans_iters: int = 2,
-             assign_mode: str = "auto", nprobe: int = 1) -> DataFrame:
+             assign_mode: str = "auto", nprobe: int = 1,
+             fitted: tuple[DataFrame, dict[int, list[float]]] | None = None
+             ) -> DataFrame:
     """IVF ANN: each query probes the inverted lists of its ``nprobe``
     nearest centroids — the corpus-scale path where the cross join is
     replaced by a bucket equijoin. ``nprobe=1`` (default) is classic
@@ -250,8 +252,12 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     Probe selection uses the SAME fround-cosine / cent_id-asc tie order
     as assignment, so the nprobe=1 probe is exactly the assigned
     centroid; the probe scoring join is queries × centroids (both tiny —
-    broadcast, no corpus shuffle)."""
-    assign, cents = ivf_fit(emb, n_centroids, kmeans_iters, assign_mode)
+    broadcast, no corpus shuffle). Pass ``fitted`` (an :func:`ivf_fit`
+    result) to search the same index at several probe depths without
+    re-running the Lloyd iterations (r6 review: the merged gate paid the
+    fit twice)."""
+    assign, cents = (fitted if fitted is not None
+                     else ivf_fit(emb, n_centroids, kmeans_iters, assign_mode))
     if nprobe <= 1:
         q = (assign.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
              .select(F.col("vec_id").alias("query_id"),

@@ -67,28 +67,41 @@ def merge_edge_deltas(spark: SparkSession, delta: DataFrame,
 
 
 def _applied(state_path: str, stream: str = "edges") -> set[int]:
-    done: set[int] = set()
-    paths = [os.path.join(state_path, _MARK.format(stream=stream))]
-    if stream == "edges" and os.path.exists(os.path.join(state_path, _EDGES)):
-        # legacy pre-namespacing marker: honoring it keeps the replay
-        # guard intact across the rename for the EDGE stream, whose
-        # weight merge has no idempotence backstop (a double-applied
-        # batch double-counts weights). The dedup streams deliberately
-        # ignore it: their state anti-joins make re-processing safe,
-        # while skipping on a marker another stream wrote would drop
-        # data — the exact cross-stream bug the namespacing fixes.
-        # Gated on the edge table existing: pre-namespacing the shared
-        # marker was written by ALL streams, so a state_path that holds
-        # dedup state but no edge table carries a marker some OTHER
-        # stream wrote — honoring it there would silently skip edge
-        # batches whose ids happen to collide (data loss). No edge
-        # table ⇒ no edge batch was ever merged ⇒ nothing to guard.
-        paths.append(os.path.join(state_path, "_applied_batches.json"))
-    for p in paths:
-        if os.path.exists(p):
-            with open(p) as fh:
-                done |= set(json.load(fh))
-    return done
+    # reads ONLY the namespaced marker: legacy (pre-namespacing) ids are
+    # imported exactly once by _migrate_legacy_marker at stream start —
+    # consulting the shared legacy file here would re-absorb ids some
+    # OTHER stream wrote after our namespaced marker exists (the r6
+    # review found that flip: batch 0 creates the edge table, and a
+    # per-call edges-table gate then honors a dedup-written marker for
+    # every later batch — silent edge data loss)
+    p = os.path.join(state_path, _MARK.format(stream=stream))
+    if os.path.exists(p):
+        with open(p) as fh:
+            return set(json.load(fh))
+    return set()
+
+
+def _migrate_legacy_marker(state_path: str) -> None:
+    """One-shot import of the pre-namespacing shared marker into
+    ``_applied_batches_edges.json`` — ONLY when the state_path already
+    holds an edge table and no namespaced marker yet (i.e. a genuine
+    pre-namespacing EDGE stream state). A state_path with dedup state
+    but no edge table never imports: the legacy marker there was written
+    by a dedup stream, and honoring it would skip edge batches with
+    colliding ids. The edge stream keeps the guard because its weight
+    merge has no idempotence backstop (a double-applied batch
+    double-counts); the dedup streams deliberately ignore the legacy
+    file — their state anti-joins make re-processing safe."""
+    ns = os.path.join(state_path, _MARK.format(stream="edges"))
+    legacy = os.path.join(state_path, "_applied_batches.json")
+    if (os.path.exists(legacy) and not os.path.exists(ns)
+            and os.path.exists(os.path.join(state_path, _EDGES))):
+        with open(legacy) as fh:
+            ids = sorted(set(json.load(fh)))
+        tmp = ns + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ids, fh)
+        os.replace(tmp, ns)
 
 
 def _mark_applied(state_path: str, batch_id: int,
@@ -110,6 +123,7 @@ def stream_cooccurrence_edges(spark: SparkSession, input_path: str,
     arrive atomically within one micro-batch (the ingest contract;
     cross-batch conversations go through streaming.stateful first)."""
     os.makedirs(state_path, exist_ok=True)
+    _migrate_legacy_marker(state_path)
     stream = (spark.readStream
               .schema(TRANSCRIPTS_SCHEMA)
               .parquet(input_path)

@@ -92,3 +92,20 @@ def test_cosine_pairs_hot_label_routed(spark):
     # near-identical (one sign flip) family pairs recovered by the route
     strong = {k for k, v in exact.items() if v >= 0.9}
     assert strong and strong <= set(guarded)
+
+
+def test_ngram_jaccard_null_lang_hot_block(spark):
+    """r6 review: a hot block keyed (source, NULL) — failed lang
+    detection — must not poison the routing predicate into NULL and
+    silently drop every same-source doc from both paths."""
+    rows = ([(i, "a b c d e f g h", None, "web", 0) for i in range(30)]
+            + [(100, "a b c d e f g h", "en", "web", 0),
+               (101, "a b c d e f g h", "en", "web", 0)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in ngram_jaccard_pairs(docs, max_block_rows=10).collect()}
+    # the cold ("web","en") pair survives the exact path
+    assert (100, 101) in got
+    # identical docs inside the routed NULL-lang hot block are found
+    assert (0, 1) in got

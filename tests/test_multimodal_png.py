@@ -67,3 +67,11 @@ def test_decode_media_mixed_png_ppm(spark):
         px = b"".join(_px_bytes(d, i, ch) for i in range(w * h))
         assert r["px_sum"] == sum(px)
         assert r["feature_hash"] == hashlib.md5(px).hexdigest()
+
+
+def test_png_truncated_crc_raises_valueerror():
+    """r6 review: a blob cut inside a chunk's 4-byte CRC must raise
+    ValueError (the decoder's error contract), not struct.error."""
+    good = synth_png(3, 4, 4, 2)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png(good[:-2])

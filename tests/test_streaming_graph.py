@@ -71,25 +71,46 @@ def test_merge_is_idempotent_per_batch(spark, tmp_path):
     # checkpoint: re-running the stream with no new files merges nothing)
 
 
-def test_legacy_marker_ignored_without_edge_state(spark, tmp_path):
-    """r5 ADVICE: the legacy (pre-namespacing) `_applied_batches.json` was
-    written by ALL streams — at a state_path that has dedup state but no
-    edge table it must NOT suppress edge batches (no edge table ⇒ no edge
-    batch was ever merged here)."""
+def test_legacy_marker_lifecycle(spark, tmp_path):
+    """r5 ADVICE + r6 review: the pre-namespacing `_applied_batches.json`
+    was written by ALL streams. It must be imported into the edges
+    stream's namespaced marker exactly ONCE at stream start, and only
+    when the state_path already holds an edge table (a genuine
+    pre-namespacing edge-stream state); a dedup-only state_path must
+    never have its foreign marker honored — even after the edge stream's
+    own first batch creates the edge table (the r6 review's flip
+    scenario)."""
     import json as _json
 
-    from kglinker.streaming.graph import _applied
+    from kglinker.streaming.graph import (_applied, _mark_applied,
+                                          _migrate_legacy_marker)
 
+    # dedup-contaminated path: legacy marker, NO edge table
     state = str(tmp_path / "st")
     os.makedirs(state)
     with open(os.path.join(state, "_applied_batches.json"), "w") as fh:
         _json.dump([0, 1, 2], fh)
-    # no edges/ subdir → legacy marker is some other stream's: ignored
+    _migrate_legacy_marker(state)          # stream start: nothing to do
     assert _applied(state) == set()
-    # once an edge table exists, the legacy guard applies again
+    _mark_applied(state, 0)                # batch 0 merges, edge table born
     os.makedirs(os.path.join(state, "edges"))
-    assert _applied(state) == {0, 1, 2}
-    # namespaced marker is honored regardless
-    with open(os.path.join(state, "_applied_batches_edges.json"), "w") as fh:
-        _json.dump([7], fh)
-    assert _applied(state) == {0, 1, 2, 7}
+    # later batches: foreign legacy ids must STAY ignored (the namespaced
+    # marker exists; no re-absorption)
+    assert _applied(state) == {0}
+    _mark_applied(state, 1)
+    assert _applied(state) == {0, 1}
+
+    # genuine pre-namespacing edge state: edge table + legacy marker,
+    # no namespaced marker -> one-shot import at stream start
+    state2 = str(tmp_path / "st2")
+    os.makedirs(os.path.join(state2, "edges"))
+    with open(os.path.join(state2, "_applied_batches.json"), "w") as fh:
+        _json.dump([0, 1, 2], fh)
+    _migrate_legacy_marker(state2)
+    assert _applied(state2) == {0, 1, 2}
+    # import is one-shot: a dedup stream appending to the legacy file
+    # later never leaks into the edges marker
+    with open(os.path.join(state2, "_applied_batches.json"), "w") as fh:
+        _json.dump([0, 1, 2, 7], fh)
+    _migrate_legacy_marker(state2)
+    assert _applied(state2) == {0, 1, 2}
