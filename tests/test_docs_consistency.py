@@ -34,3 +34,20 @@ def test_readme_registry_count_matches():
     assert m, "README no longer states the registry count"
     assert int(m.group(1)) == len(QUERIES), (
         f"README says {m.group(1)} operators, registry has {len(QUERIES)}")
+
+
+def test_registry_capped_at_50_flagship_first():
+    """r6: the driver emits correctness rows for AT MOST the first 50
+    registry entries in insertion order (r5 evidence: 54 registered →
+    exactly the first 50 in the driver file). Growing past 50 silently
+    un-verifies the tail — merge variants into discriminator-column
+    gates instead — and the flagship pipeline + multimodal gates must
+    stay in the guaranteed prefix."""
+    names = list(QUERIES)
+    assert len(names) <= 50, (
+        f"registry has {len(names)} entries; the driver caps at 50 — "
+        "merge variant gates (see __spark_entry__.py size contract)")
+    assert names[:4] == ["kg_pipeline_mentions", "kg_pipeline_triples",
+                         "multimodal_metadata", "multimodal_decode"]
+    # every entry must still carry an exact oracle
+    assert all(q.sql is not None for q in QUERIES.values())

@@ -75,3 +75,48 @@ def test_png_truncated_crc_raises_valueerror():
     good = synth_png(3, 4, 4, 2)
     with pytest.raises(ValueError, match="truncated"):
         _decode_png(good[:-2])
+
+
+def test_png_decoder_error_contract_under_mutation():
+    """Any single-byte corruption of a valid PNG either still decodes
+    (impossible here — CRC covers every chunk) or raises ValueError:
+    no struct.error / IndexError / zlib.error escapes the parser."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    good = synth_png(13, 9, 7, 6)
+
+    @settings(max_examples=200, deadline=None)
+    @given(pos=st.integers(0, len(good) - 1), bit=st.integers(0, 7))
+    def run(pos, bit):
+        bad = bytearray(good)
+        bad[pos] ^= 1 << bit
+        try:
+            _decode_png(bytes(bad))
+        except ValueError:
+            pass
+        except Exception as e:   # noqa: BLE001 — the contract under test
+            raise AssertionError(
+                f"non-ValueError {type(e).__name__} at byte {pos}: {e}")
+
+    run()
+
+
+def test_png_decoder_error_contract_on_truncation():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    good = synth_png(5, 8, 6, 2)
+
+    @settings(max_examples=100, deadline=None)
+    @given(cut=st.integers(0, len(good) - 1))
+    def run(cut):
+        try:
+            _decode_png(good[:cut])
+        except ValueError:
+            pass
+        except Exception as e:   # noqa: BLE001
+            raise AssertionError(
+                f"non-ValueError {type(e).__name__} at cut {cut}: {e}")
+
+    run()
