@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame
 
 from kglinker.extract.matcher import MENTIONS_SCHEMA_DDL, annotate_conversation
 
-__all__ = ["extract_mentions", "annotate_pdf", "annotate_sorted_arrays"]
+__all__ = ["extract_mentions", "annotate_pdf", "annotate_sorted_arrays",
+           "with_byte_offsets"]
 
 _OUT_COLS = ["conv_id", "turn_idx", "start", "end", "mention_type",
              "surface", "kb_id", "resolved"]
@@ -154,3 +155,31 @@ def extract_mentions(transcripts: DataFrame, artifacts_bcast,
         src = (src.repartition(num_partitions, "conv_id")
                .sortWithinPartitions("conv_id", "turn_idx"))
     return src.mapInPandas(run, MENTIONS_SCHEMA_DDL)
+
+
+def with_byte_offsets(mentions: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """figa ``-b`` byte-offset mode (figa_cedar.tpp:961-970: the reference
+    CLI offers byte offsets vs code points; the repo standardizes on
+    0-based CHAR offsets per SURVEY §7.4(3)) — opt-in channel that adds
+    ``start_byte``/``end_byte`` columns for consumers indexing the UTF-8
+    encoded text (byte-addressed stores, Arrow string buffers).
+
+    Pure-Column: byte offset of char offset c = ``octet_length`` of the
+    first c characters — JVM-side, no Python, one (conv_id, turn_idx)
+    equijoin to bring the stored text back (on the conv-partitioned
+    layout both sides share the conv_id clustering, so at corpus scale
+    this co-locates). Offsets stay anchored to the STORED text (the
+    per-turn text-equality invariant)."""
+    from pyspark.sql import functions as F
+
+    txt = transcripts.select("conv_id", "turn_idx", "text")
+    return (mentions.join(txt, ["conv_id", "turn_idx"])
+            .withColumn(
+                "start_byte",
+                F.octet_length(F.expr("substring(text, 1, start)"))
+                .cast("int"))
+            .withColumn(
+                "end_byte",
+                F.octet_length(F.expr("substring(text, 1, end)"))
+                .cast("int"))
+            .drop("text"))

@@ -82,3 +82,33 @@ def test_single_conversation_spanning_many_arrow_batches(spark, artifacts,
     g = got.sort_values(["turn_idx", "start"]).reset_index(drop=True)
     w = want.sort_values(["turn_idx", "start"]).reset_index(drop=True)
     assert (g["kb_id"].fillna(-1) == w["kb_id"].fillna(-1)).all()
+
+
+def test_byte_offsets_match_utf8_encoding(spark, artifacts_bcast):
+    """figa -b parity (r6): start_byte/end_byte must equal the UTF-8
+    byte offsets of the char offsets against the stored text — verified
+    on Czech multi-byte turns where char and byte offsets diverge."""
+    from kglinker.extract.stage import extract_mentions, with_byte_offsets
+    rows = [
+        ("c0", 0, "user", "Včera přijel Petr Novák do města Brno .", "", None),
+        ("c0", 1, "user", "Říkal že Marie Curie žije v Paříži .", "", None),
+    ]
+    from kglinker.data.transcripts import TRANSCRIPTS_SCHEMA
+    import datetime
+    ts = datetime.datetime(2024, 1, 1)
+    tdf = spark.createDataFrame(
+        [(c, i, r, t, tool, ts) for c, i, r, t, tool, _ in rows],
+        TRANSCRIPTS_SCHEMA)
+    mentions = extract_mentions(tdf, artifacts_bcast)
+    got = with_byte_offsets(mentions, tdf).collect()
+    assert len(got) > 0
+    texts = {(c, i): t for c, i, _, t, _, _ in rows}
+    diverged = 0
+    for r in got:
+        text = texts[(r["conv_id"], r["turn_idx"])]
+        want_sb = len(text[:r["start"]].encode("utf-8"))
+        want_eb = len(text[:r["end"]].encode("utf-8"))
+        assert (r["start_byte"], r["end_byte"]) == (want_sb, want_eb), r
+        if want_sb != r["start"] or want_eb != r["end"]:
+            diverged += 1
+    assert diverged > 0, "fixture never exercised multi-byte divergence"
