@@ -360,7 +360,8 @@ def _ngram_jaccard_exact(docs: DataFrame, n: int,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        max_block_rows: int | None = 100_000) -> DataFrame:
+                        max_block_rows: int | None = 100_000,
+                        block_counts: DataFrame | None = None) -> DataFrame:
     """Token-n-gram Jaccard inside (source, lang) blocks:
     (doc_a, doc_b, jaccard ≥ threshold). Blocking keeps the pair space
     quadratic only within blocks (the standard ER blocking pattern; the
@@ -377,13 +378,18 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     small block-count aggregation; the hot-block list collected to the
     driver is bounded by block-key cardinality (the IVF-centroid-collect
     precedent). ``max_block_rows=None`` disables the guard (exact
-    everywhere — the oracle-gate formulation)."""
+    everywhere — the oracle-gate formulation). ``block_counts`` lets a
+    pipeline that already profiled the corpus (``corpus_profile`` emits
+    exactly these (source, lang, n_docs) rows) supply the sizes and skip
+    the detection scan — at 100 TB the guard then costs nothing."""
     hot: list = []
     if max_block_rows is not None:
+        if block_counts is None:
+            block_counts = (docs.groupBy("source", "lang")
+                            .agg(F.count(F.lit(1)).alias("n_docs")))
         hot = [(r["source"], r["lang"]) for r in
-               docs.groupBy("source", "lang")
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .filter(F.col("_n") > max_block_rows).collect()]
+               block_counts.filter(F.col("n_docs") > max_block_rows)
+               .select("source", "lang").collect()]
     if not hot:
         return _ngram_jaccard_exact(docs, n, threshold)
     from functools import reduce

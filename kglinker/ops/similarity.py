@@ -339,7 +339,8 @@ def _cosine_pairs_exact(e: DataFrame, threshold: float) -> DataFrame:
 
 
 def cosine_pairs_same_label(emb: DataFrame, threshold: float = 0.95,
-                            max_block_rows: int | None = 100_000) -> DataFrame:
+                            max_block_rows: int | None = 100_000,
+                            block_counts: DataFrame | None = None) -> DataFrame:
     """Embedding near-dup pairs within a label block — kept as the exact
     VERIFICATION stage over candidate blocks; the registered scale path
     is :func:`lsh_neardup_pairs` (bucketed candidates).
@@ -352,13 +353,18 @@ def cosine_pairs_same_label(emb: DataFrame, threshold: float = 0.95,
     routed label becomes candidate-bounded. Detection is one small
     label-count aggregation; the hot-label list is driver-collected,
     bounded by label cardinality. ``max_block_rows=None`` disables the
-    guard (exact everywhere — the oracle-gate formulation)."""
+    guard (exact everywhere — the oracle-gate formulation);
+    ``block_counts`` (label, n_docs) supplies precomputed sizes and
+    skips the detection scan."""
     e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
     hot: list = []
     if max_block_rows is not None:
+        if block_counts is None:
+            block_counts = (emb.groupBy("label")
+                            .agg(F.count(F.lit(1)).alias("n_docs")))
         hot = [r["label"] for r in
-               emb.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
-               .filter(F.col("_n") > max_block_rows).collect()]
+               block_counts.filter(F.col("n_docs") > max_block_rows)
+               .select("label").collect()]
     if not hot:
         return _cosine_pairs_exact(e, threshold)
     exact = _cosine_pairs_exact(e.filter(~F.col("label").isin(hot)), threshold)

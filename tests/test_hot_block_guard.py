@@ -109,3 +109,25 @@ def test_ngram_jaccard_null_lang_hot_block(spark):
     assert (100, 101) in got
     # identical docs inside the routed NULL-lang hot block are found
     assert (0, 1) in got
+
+
+def test_precomputed_block_counts_skip_detection_scan(spark):
+    """block_counts (e.g. from corpus_profile) must drive routing
+    identically to the internal detection scan."""
+    docs = _hot_docs(spark)
+    sizes = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    a = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+         ngram_jaccard_pairs(docs, max_block_rows=20).collect()}
+    b = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+         ngram_jaccard_pairs(docs, max_block_rows=20,
+                             block_counts=sizes).collect()}
+    assert a == b and a
+    emb = _hot_emb(spark)
+    esizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs"))
+    c = {(r["vec_a"], r["vec_b"]) for r in cosine_pairs_same_label(
+        emb, threshold=0.8, max_block_rows=10).collect()}
+    d = {(r["vec_a"], r["vec_b"]) for r in cosine_pairs_same_label(
+        emb, threshold=0.8, max_block_rows=10,
+        block_counts=esizes).collect()}
+    assert c == d and c
