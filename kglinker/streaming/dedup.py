@@ -56,11 +56,18 @@ def read_dedup_state(spark: SparkSession, state_path: str) -> DataFrame:
 
 def stream_dedup_documents(spark: SparkSession, input_path: str,
                            state_path: str, checkpoint_path: str,
-                           available_now: bool = True) -> StreamingQuery:
+                           available_now: bool = True,
+                           max_files_per_trigger: int | None = None
+                           ) -> StreamingQuery:
     """readStream documents → per-batch within-batch survivors →
-    anti-join against the seen-state → append only first-seen content."""
+    anti-join against the seen-state → append only first-seen content.
+    ``max_files_per_trigger`` bounds micro-batch size (availableNow then
+    drains the backlog in several batches instead of one)."""
     os.makedirs(state_path, exist_ok=True)
-    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
 
     def sink(batch_df, batch_id: int) -> None:
         if int(batch_id) in _applied(state_path, "docs"):
@@ -92,7 +99,9 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
                              num_hashes: int = 64, bands: int = 16,
                              min_est: float = 0.5,
                              keep_dead_signatures: bool = False,
-                             available_now: bool = True) -> StreamingQuery:
+                             available_now: bool = True,
+                             max_files_per_trigger: int | None = None
+                             ) -> StreamingQuery:
     """Streaming NEAR-dup admission: per micro-batch, minhash-sign the
     arriving documents and drop any doc whose estimated Jaccard vs an
     ALREADY-ADMITTED doc (or an earlier doc of the same batch) reaches
@@ -132,7 +141,10 @@ def stream_neardup_documents(spark: SparkSession, input_path: str,
     ZERO exchange on the state side); signatures are ``bands`` short
     strings per doc — the state stays a tiny fraction of corpus bytes."""
     os.makedirs(state_path, exist_ok=True)
-    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
     sig_dir = os.path.join(state_path, "sigs")
     hcols = [f"h{i}" for i in range(num_hashes)]
 

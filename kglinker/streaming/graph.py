@@ -117,15 +117,19 @@ def _mark_applied(state_path: str, batch_id: int,
 def stream_cooccurrence_edges(spark: SparkSession, input_path: str,
                               state_path: str, checkpoint_path: str,
                               artifacts_bcast,
-                              available_now: bool = True) -> StreamingQuery:
+                              available_now: bool = True,
+                              max_files_per_trigger: int | None = None
+                              ) -> StreamingQuery:
     """readStream transcripts → extraction → per-batch pair deltas →
     idempotent merge into the edge-weight state. Assumes conversations
     arrive atomically within one micro-batch (the ingest contract;
     cross-batch conversations go through streaming.stateful first)."""
     os.makedirs(state_path, exist_ok=True)
     _migrate_legacy_marker(state_path)
-    stream = (spark.readStream
-              .schema(TRANSCRIPTS_SCHEMA)
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (reader
               .parquet(input_path)
               .withWatermark("ts", "1 hour")
               .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
