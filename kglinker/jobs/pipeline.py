@@ -70,13 +70,30 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, workdir: str,
 
 
 if __name__ == "__main__":  # spark-submit entry point
+    # usage:
+    #   pipeline.py [n_convs] [workdir]                  synthetic corpus
+    #   pipeline.py --input PATH [--format parquet|jsonl|csv|table]
+    #               [workdir]                            real corpus via
+    #                                                    the data/io layer
     import sys
 
+    from kglinker.data.io import read_transcripts
     from kglinker.data.transcripts import transcripts_df
     from kglinker.runtime.session import get_spark
 
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/kglinker_run"
+    args = sys.argv[1:]
     spark = get_spark("kglinker-pipeline")
-    edges = run_pipeline(spark, transcripts_df(spark, n_convs), workdir)
+    if args and args[0] == "--input":
+        path = args[1]
+        rest = args[2:]
+        fmt = "parquet"
+        if rest and rest[0] == "--format":
+            fmt, rest = rest[1], rest[2:]
+        workdir = rest[0] if rest else "/tmp/kglinker_run"
+        transcripts = read_transcripts(spark, path, fmt)
+    else:
+        n_convs = int(args[0]) if args else 1000
+        workdir = args[1] if len(args) > 1 else "/tmp/kglinker_run"
+        transcripts = transcripts_df(spark, n_convs)
+    edges = run_pipeline(spark, transcripts, workdir)
     print("edges:", edges.count())
