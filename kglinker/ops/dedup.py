@@ -33,7 +33,8 @@ from kglinker.ops.util import fround
 
 __all__ = ["exact_dedup_groups", "minhash_signatures", "minhash_lsh_pairs",
            "minhash_band_exprs", "minhash_est_expr",
-           "simhash_signatures", "simhash_pairs", "ngram_jaccard_pairs"]
+           "simhash_signatures", "simhash_pairs", "ngram_jaccard_pairs",
+           "repeated_ngram_spans", "duplication_fraction"]
 
 
 def minhash_band_exprs(num_hashes: int, bands: int) -> list[F.Column]:
@@ -420,3 +421,76 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             .select("doc_a", "doc_b"))
     routed = _jaccard_verify(cand, hotd, n, threshold)
     return exact.unionByName(routed)
+
+
+def repeated_ngram_spans(docs: DataFrame, k: int = 50,
+                         min_repeats: int = 2) -> DataFrame:
+    """(doc_id, span_start, span_end): maximal token-index intervals
+    covered by k-token windows that occur ≥ ``min_repeats`` times in the
+    WHOLE corpus — the repeated-substring signal of exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": duplicated ≥50-token spans drive memorization;
+    production default k=50). Spans are inclusive 0-based token indices.
+
+    Plan: windows built IN-ROW (index-aware transform — no token
+    shuffle), hashed to an 8-hex md5 slice; ONE hash shuffle finds
+    windows with corpus count ≥ min_repeats (map-side combine; same
+    order of work as the minhash shingle stage); duplicated positions
+    then merge into maximal spans with a per-doc gaps-and-islands window
+    (one doc_id exchange). The DuckDB oracle replays the identical
+    formulation, windows included, for exact parity."""
+    arr = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", arr.alias("_arr"))
+    a = F.col("_arr")
+
+    def win(x, i):
+        parts = [x] + [F.try_element_at(a, i + j + 1) for j in range(1, k)]
+        return F.when(i <= F.size(a) - k,
+                      F.struct(i.alias("pos"),
+                               F.substring(F.md5(F.concat_ws(" ", *parts)),
+                                           1, 8).alias("h")))
+
+    pos = (base.select("doc_id", F.explode(F.transform(a, win)).alias("w"))
+           .filter(F.col("w").isNotNull())
+           .select("doc_id", F.col("w.pos").alias("pos"),
+                   F.col("w.h").alias("h")))
+    dup = (pos.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") >= min_repeats).select("h"))
+    hits = pos.join(dup, "h").select("doc_id", "pos")
+    # gaps-and-islands: a window starting at pos covers [pos, pos+k-1];
+    # a new island begins when pos exceeds the running max end + 1
+    from pyspark.sql.window import Window
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    brk = F.when(
+        F.col("pos") > F.coalesce(F.max(F.col("pos") + k - 1).over(w_prev),
+                                  F.lit(-1)) + 1, 1).otherwise(0)
+    return (hits.withColumn("_brk", brk)
+            .withColumn("_isl", F.sum("_brk").over(w_run))
+            .groupBy("doc_id", "_isl")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max(F.col("pos") + k - 1).alias("span_end"))
+            .select("doc_id", "span_start", "span_end"))
+
+
+def duplication_fraction(docs: DataFrame, k: int = 50,
+                         min_repeats: int = 2) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_frac): fraction of a doc's
+    tokens inside repeated-k-gram spans — the filterable per-doc signal
+    (drop or trim docs above a memorization-risk threshold). Docs with
+    no repeated span appear with dup_frac 0.0 (left join)."""
+    from kglinker.ops.util import fround
+    spans = repeated_ngram_spans(docs, k, min_repeats)
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.sum(F.col("span_end") - F.col("span_start") + 1)
+                    .alias("dup_tokens")))
+    toks = docs.select("doc_id",
+                       F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    return (toks.join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"))
+            .withColumn("dup_frac",
+                        fround(F.col("dup_tokens") / F.col("n_tokens"), 4)))
