@@ -43,10 +43,18 @@ CHUNK_T, CHUNK_OVL, PACK_SEQ = 128, 16, 512
 
 
 def curate(spark: SparkSession, sf_dir: str,
-           out_dir: str | None = None) -> dict:
+           out_dir: str | None = None,
+           max_dup_frac: float | None = None,
+           dup_k: int = 8) -> dict:
     """Run the full curation chain over ``sf_dir``/documents.parquet;
     returns per-stage survivor counts (and writes chunks/packing parquet
-    under ``out_dir`` when given)."""
+    under ``out_dir`` when given).
+
+    ``max_dup_frac`` (opt-in, r6) adds a repeated-substring stage after
+    near-dup dedup: docs whose fraction of tokens inside corpus-repeated
+    ``dup_k``-token spans exceeds the threshold are dropped (the
+    exact-substring memorization signal, Lee et al. 2022). Default None
+    keeps the registered ⊕ curate_funnel chain byte-stable."""
     from kglinker.graph.canonicalize import connected_components_star
     from kglinker.ops.chunking import chunk_documents, pack_documents
     from kglinker.ops.dedup import exact_dedup_groups, minhash_lsh_pairs
@@ -95,6 +103,17 @@ def curate(spark: SparkSession, sf_dir: str,
         .select(F.col("node").alias("doc_id"))
     docs = _mat(docs.join(losers, "doc_id", "left_anti"),
                 "after_neardup")
+
+    # 3b. (opt-in) repeated-substring filter over the SURVIVORS —
+    # corpus-wide repeated spans are recomputed on the deduped set, so
+    # boilerplate shared only by removed near-dups no longer counts
+    if max_dup_frac is not None:
+        from kglinker.ops.dedup import duplication_fraction
+        heavy = (duplication_fraction(docs, k=dup_k)
+                 .filter(F.col("dup_frac") > max_dup_frac)
+                 .select("doc_id"))
+        docs = _mat(docs.join(heavy, "doc_id", "left_anti"),
+                    "after_repeated_spans")
 
     # 4. decontamination vs a benchmark stand-in: every 50th SURVIVOR
     # (r4 advice: sampling the raw corpus let a survivor be removed
