@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 __all__ = ["GAZETTEER", "gazetteer_df", "doc_tokens", "doc_mentions",
            "doc_linked", "doc_cooccurrence", "doc_components"]
@@ -57,25 +56,16 @@ def doc_tokens(docs: DataFrame) -> DataFrame:
                        .alias("pos", "tok"))
 
 
-def doc_mentions(docs: DataFrame) -> DataFrame:
-    """M2+M7 leftmost-longest mention candidates:
-    (doc_id, pos, surface, kb_id, confidence). Bigram matches win; covered
-    unigram positions are anti-joined away. The dictionary side of every
-    join is broadcast (D1 gazetteer join).
-
-    Plan shape: bigrams are built *inside the row* with an index-aware
-    ``transform`` over the split array (scan → explode, zero shuffles —
-    the naive lead()-window plan shuffles every token); the only exchanges
-    left are the broadcast of the dictionary and the covered-position
-    anti-join."""
-    spark = docs.sparkSession
-    gaz = gazetteer_df(spark)
+def _emit_expr():
+    """The in-row leftmost-longest surface emitter shared by
+    :func:`doc_mentions`, :func:`doc_linked` and :func:`doc_cooccurrence`:
+    ``transform(_arr, emit)`` yields one ``struct(pos, surface)`` per token
+    (surface NULL when the position matches nothing / is covered by a
+    bigram). ONE definition so the three consumers can never diverge."""
     big_surfaces = sorted({s for s, _, _ in GAZETTEER if " " in s})
     uni_surfaces = sorted({s for s, _, _ in GAZETTEER if " " not in s})
     big_lit = F.array(*[F.lit(s) for s in big_surfaces])
     uni_lit = F.array(*[F.lit(s) for s in uni_surfaces])
-    arr = F.split(F.col("text"), " ")
-    base = docs.select("doc_id", arr.alias("_arr"))
     a = F.col("_arr")
 
     def emit(x, i):
@@ -90,9 +80,47 @@ def doc_mentions(docs: DataFrame) -> DataFrame:
                    .when(~covered & F.array_contains(uni_lit, x), x))
         return F.struct(i.cast("int").alias("pos"), surface.alias("surface"))
 
-    hits = (base.select("doc_id", F.explode(F.transform(a, emit)).alias("t"))
+    return emit
+
+
+def _doc_hits(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, surface): the emitted dictionary hits — at most one
+    surface per position, so the rows are DISTINCT by construction (each
+    array index emits one struct). Scan → in-row transform → explode,
+    zero exchanges."""
+    arr = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", arr.alias("_arr"))
+    emit = _emit_expr()
+    return (base.select("doc_id",
+                        F.explode(F.transform(F.col("_arr"), emit)).alias("t"))
             .select("doc_id", "t.pos", "t.surface")
             .filter(F.col("surface").isNotNull()))
+
+
+def _static_best() -> dict[str, int]:
+    """D3 static argmax per surface, computed at plan-build time from the
+    literal dictionary (constant folding the optimizer cannot do through
+    a join): highest confidence, kb_id-asc tie-break — the same ordering
+    as the r6 window formulation, proven by the unchanged DuckDB gate."""
+    best: dict[str, tuple[float, int]] = {}
+    for s, k, c in GAZETTEER:
+        if s not in best or (c, -k) > (best[s][0], -best[s][1]):
+            best[s] = (c, k)
+    return {s: k for s, (_c, k) in best.items()}
+
+
+def doc_mentions(docs: DataFrame) -> DataFrame:
+    """M2+M7 leftmost-longest mention candidates:
+    (doc_id, pos, surface, kb_id, confidence). Bigram matches win; covered
+    unigram positions are anti-joined away. The dictionary side of the
+    candidate attach is broadcast (D1 gazetteer join).
+
+    Plan shape: bigrams are built *inside the row* with an index-aware
+    ``transform`` over the split array (scan → explode, zero shuffles —
+    the naive lead()-window plan shuffles every token); the only exchange
+    left is the broadcast of the dictionary."""
+    gaz = gazetteer_df(docs.sparkSession)
+    hits = _doc_hits(docs)
     # candidate attach (D1): broadcast-hash join against the dictionary —
     # the only exchange in the whole plan is this broadcast
     return (hits.join(F.broadcast(gaz), "surface")
@@ -103,37 +131,54 @@ def doc_linked(docs: DataFrame) -> DataFrame:
     """D3 static argmax per mention: highest-confidence candidate, kb_id
     tie-break (reference first-max semantics with A2 candidate order).
 
-    The argmax depends only on the *surface*, so it is computed on the
-    broadcast-small dictionary (window over ≤|dictionary| rows) and joined
-    back — never a corpus-wide window shuffle."""
-    m = doc_mentions(docs)
-    gaz = gazetteer_df(docs.sparkSession)
-    w = Window.partitionBy("surface").orderBy(F.desc("confidence"), F.asc("kb_id"))
-    best = (gaz.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("surface", F.col("kb_id").alias("best_kb_id")))
-    return (m.select("doc_id", "pos", "surface").distinct()
-            .join(F.broadcast(best), "surface")
+    The argmax depends only on the *surface*, so it is resolved from a
+    LITERAL surface→kb map built at plan time (:func:`_static_best`) —
+    never a corpus-wide window shuffle, and (r7) no dictionary join at
+    all: the emitted hits are already distinct per (doc_id, pos), so the
+    pre-r7 ``doc_mentions().distinct()`` round trip (one corpus-wide
+    exchange + a second broadcast join) collapses into a pure projection
+    over the scan. Same rows, zero exchanges."""
+    best = _static_best()
+    best_map = F.create_map(*[x for s in sorted(best)
+                              for x in (F.lit(s),
+                                        F.lit(best[s]).cast("long"))])
+    return (_doc_hits(docs)
             .select("doc_id", "pos", "surface",
-                    F.col("best_kb_id").alias("kb_id")))
+                    F.element_at(best_map, F.col("surface")).alias("kb_id")))
 
 
 def doc_cooccurrence(docs: DataFrame) -> DataFrame:
     """Per-document distinct entity pairs (subj<obj) + corpus-wide weight —
     the co_occurs_in_conv emission in relational form.
 
-    Pairs are generated *inside the row* from the per-document sorted
-    entity set (bounded by the dictionary size) — a groupBy + array
-    expansion instead of a sort-merge self-join, halving the exchanges and
-    avoiding a second evaluation of the linking pipeline."""
-    ents = (doc_linked(docs)
-            .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_set("kb_id")).alias("es")))
+    r7 plan shape: the per-document sorted distinct entity set is built
+    ENTIRELY in-row (emit transform → literal best-map lookup →
+    array_distinct → array_sort), and pairs explode from it — so the only
+    exchange in the whole plan is the final (subj, obj) count aggregation
+    (map-side combinable). The pre-r7 plan paid three corpus-wide
+    exchanges here (linked distinct + groupBy(doc_id) + the count); the
+    DuckDB gate is byte-identical (min/distinct/sort all order-free)."""
+    best = _static_best()
+    best_map = F.create_map(*[x for s in sorted(best)
+                              for x in (F.lit(s),
+                                        F.lit(best[s]).cast("long"))])
+    arr = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", arr.alias("_arr"))
+    emit = _emit_expr()
+    es_expr = F.array_sort(F.array_distinct(F.filter(
+        F.transform(F.transform(F.col("_arr"), emit),
+                    lambda t: F.element_at(best_map, t["surface"])),
+        lambda k: k.isNotNull())))
+    # project the entity set behind a column boundary: the pair expansion
+    # references it three times, and inlining would triple-evaluate the
+    # emit/lookup/distinct tree
+    ents = base.select(es_expr.alias("es"))
     es = F.col("es")
-    pairs = (ents.select(F.explode(F.flatten(F.transform(
-                es, lambda x, i: F.transform(
-                    F.slice(es, i + 2, F.size(es)),
-                    lambda y: F.struct(x.alias("subj"), y.alias("obj")))))).alias("p"))
+    pair_structs = F.flatten(F.transform(
+        es, lambda x, i: F.transform(
+            F.slice(es, i + 2, F.size(es)),
+            lambda y: F.struct(x.alias("subj"), y.alias("obj")))))
+    pairs = (ents.select(F.explode(pair_structs).alias("p"))
              .select("p.subj", "p.obj"))
     return pairs.groupBy("subj", "obj").agg(F.count(F.lit(1)).alias("weight"))
 
