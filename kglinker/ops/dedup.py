@@ -114,14 +114,15 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
     a pathological bucket (thousands of near-identical docs) is exactly the
     hot-key case AQE skew-split + salting handle.
 
-    Cache lifecycle (r4 advice): the signature table feeds three
-    consumers (banding + both sides of the est join), so it is cached for
-    the duration of THIS call only — the result is materialized eagerly
-    (``localCheckpoint``, the :func:`kglinker.graph.analytics.pagerank`
-    lifecycle) and the signature cache released before returning, so
-    repeated calls in a long-lived session no longer accumulate executor
-    storage."""
-    sig = minhash_signatures(docs, num_hashes).cache()
+    Signature reuse (r7): the signature table feeds four plan sites
+    (both band-join sides + both est-join sides), but its plan ENDS in
+    the groupBy(doc_id) exchange — Spark's ReusedExchange computes that
+    shuffle once per job and serves every consumer from it, so the r4-r6
+    ``cache()``/``unpersist()`` lifecycle only added a columnar
+    cache-build on top (measured ~equal-or-slower at sf0.1). The result
+    is still materialized eagerly (``localCheckpoint``) so downstream
+    iterative consumers (CC rounds) never re-run the band join."""
+    sig = minhash_signatures(docs, num_hashes)
     hcols = [f"h{i}" for i in range(num_hashes)]
     band_exprs = minhash_band_exprs(num_hashes, bands)
     banded = sig.select("doc_id", F.explode(F.array(*band_exprs)).alias("bk")) \
@@ -158,7 +159,6 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8,
            .filter(F.col("est_sim") >= min_est)
            .select("doc_a", "doc_b", "est_sim")
            .localCheckpoint(eager=True))
-    sig.unpersist()
     return out
 
 
@@ -442,7 +442,12 @@ def repeated_ngram_spans(docs: DataFrame, k: int = 50,
     production default k=50). Spans are inclusive 0-based token indices.
 
     Plan: windows built IN-ROW (index-aware transform — no token
-    shuffle), hashed to an 8-hex md5 slice; ONE hash shuffle finds
+    shuffle), hashed to a 16-hex (64-bit) md5 slice — 32 bits (r6)
+    guaranteed birthday collisions at the production corpus sizes this
+    op targets (~1% of windows already colliding at 1e8 windows),
+    silently marking unique spans 'repeated' and inflating dup_frac;
+    at 64 bits collisions stay negligible past 1e9 windows per corpus
+    (r7 ADVICE fix). ONE hash shuffle finds
     windows with corpus count ≥ min_repeats (map-side combine; same
     order of work as the minhash shingle stage); duplicated positions
     then merge into maximal spans with a per-doc gaps-and-islands window
@@ -457,7 +462,7 @@ def repeated_ngram_spans(docs: DataFrame, k: int = 50,
         return F.when(i <= F.size(a) - k,
                       F.struct(i.alias("pos"),
                                F.substring(F.md5(F.concat_ws(" ", *parts)),
-                                           1, 8).alias("h")))
+                                           1, 16).alias("h")))
 
     pos = (base.select("doc_id", F.explode(F.transform(a, win)).alias("w"))
            .filter(F.col("w").isNotNull())
@@ -495,8 +500,12 @@ def duplication_fraction(docs: DataFrame, k: int = 50,
     per_doc = (spans.groupBy("doc_id")
                .agg(F.sum(F.col("span_end") - F.col("span_start") + 1)
                     .alias("dup_tokens")))
-    toks = docs.select("doc_id",
-                       F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    # NULL text: size(split(NULL)) is -1, which would emit n_tokens=-1 /
+    # dup_frac=-0.0 rows that silently pass a curate max_dup_frac filter
+    # — drop them, matching simhash_signatures' NULL policy (r7 ADVICE)
+    toks = (docs.filter(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.size(F.split(F.col("text"), " ")).alias("n_tokens")))
     return (toks.join(per_doc, "doc_id", "left")
             .select("doc_id", "n_tokens",
                     F.coalesce("dup_tokens", F.lit(0)).cast("long")

@@ -28,6 +28,7 @@ engines (the DuckDB oracle ranks identically).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,13 +56,22 @@ def _as_double(col: str) -> F.Column:
 
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     """(query_id, vec_id, cos_sim) top-k neighbors per query (self excluded).
-    Query side is broadcast; corpus side is scanned once."""
-    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    Query side is broadcast; corpus side is scanned once.
+
+    Norms are precomputed once per side behind a projection boundary
+    (r7): inlining ``_norm`` into the similarity recomputed ‖v‖ once per
+    (row × query) and ‖qv‖ once per corpus row — |corpus|×|queries|
+    d-element folds for values that exist |corpus|+|queries| times. Same
+    doubles, same ``a_norm * q_norm`` multiply order → identical rounded
+    scores (the DuckDB gate re-proves it)."""
+    e = (emb.select("vec_id", _as_double("embedding").alias("v"))
+         .withColumn("_nv", _norm("v")))
     q = (e.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
-         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("_nv").alias("_nq")))
     joined = (e.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("query_id")))
-    sim = fround(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+    sim = fround(_dot("v", "qv") / (F.col("_nv") * F.col("_nq")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (joined.withColumn("cos_sim", sim)
             .withColumn("_rn", F.row_number().over(w))
@@ -151,17 +161,27 @@ def _assign_literal(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     row_number window). Right below ``LITERAL_CENTROID_MAX`` centroids;
     above it the expression tree itself becomes the bottleneck — use
     :func:`_assign_broadcast`."""
+    # centroid norms are constants: fold them at plan-build time with the
+    # SAME left-fold (+ sqrt) the Spark expression performed — IEEE-754
+    # doubles give bit-identical values, and the lambda aggregate is not
+    # constant-folded by Catalyst, so it used to re-run per row per
+    # centroid. ‖v‖ likewise moves behind a projection: once per row
+    # instead of once per (row × centroid).
+    en = e.withColumn("_nv", _norm("v"))
     scored = []
     for cid in sorted(cents):
         lit = F.array(*[F.lit(float(x)) for x in cents[cid]])
         dot = F.aggregate(F.zip_with(F.col("v"), lit, lambda x, y: x * y),
                           F.lit(0.0), lambda acc, x: acc + x)
-        nc = F.sqrt(F.aggregate(lit, F.lit(0.0), lambda acc, x: acc + x * x))
-        sim = fround(dot / (_norm("v") * nc), 4)
+        acc = 0.0
+        for x in cents[cid]:
+            acc += float(x) * float(x)
+        nc = F.lit(math.sqrt(acc))
+        sim = fround(dot / (F.col("_nv") * nc), 4)
         scored.append(F.struct((-sim).alias("negsim"),
                                F.lit(int(cid)).alias("cent_id")))
     best = F.array_min(F.array(*scored))
-    return e.select("vec_id", "v", best["cent_id"].alias("cent_id"))
+    return en.select("vec_id", "v", best["cent_id"].alias("cent_id"))
 
 
 def _assign_broadcast(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
@@ -171,10 +191,23 @@ def _assign_broadcast(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     nested-loop score pass + a map-side-combinable min-struct aggregation
     + an equijoin to re-attach vectors; no all-pairs shuffle."""
     spark = e.sparkSession
+
+    def _pynorm(vec) -> float:
+        # same left-fold + sqrt as the _norm expression (IEEE-754 ⇒
+        # bit-identical); folded driver-side because Catalyst does not
+        # constant-fold lambda aggregates, so ‖cv‖ used to re-run per
+        # (row × centroid)
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
     cdf = spark.createDataFrame(
-        [(int(cid), [float(x) for x in cents[cid]]) for cid in sorted(cents)],
-        "cent_id int, cv array<double>")
-    sim = fround(_dot("v", "cv") / (_norm("v") * _norm("cv")), 4)
+        [(int(cid), [float(x) for x in cents[cid]], _pynorm(cents[cid]))
+         for cid in sorted(cents)],
+        "cent_id int, cv array<double>, _ncv double")
+    e = e.withColumn("_nv", _norm("v"))
+    sim = fround(_dot("v", "cv") / (F.col("_nv") * F.col("_ncv")), 4)
     best = (e.crossJoin(F.broadcast(cdf))
             .select("vec_id", F.struct((-sim).alias("negsim"),
                                        F.col("cent_id")).alias("s"))
@@ -258,10 +291,15 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     fit twice)."""
     assign, cents = (fitted if fitted is not None
                      else ivf_fit(emb, n_centroids, kmeans_iters, assign_mode))
+    # corpus-side norm once per vector (r7, see cosine_topk); the query
+    # side is tiny and normed inside the per-branch q construction
+    assign = assign.select("vec_id", "v", "cent_id").withColumn(
+        "_nv", _norm("v"))
     if nprobe <= 1:
         q = (assign.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
              .select(F.col("vec_id").alias("query_id"),
-                     F.col("cent_id").alias("qc"), F.col("v").alias("qv")))
+                     F.col("cent_id").alias("qc"), F.col("v").alias("qv"),
+                     F.col("_nv").alias("_nq")))
     else:
         spark = emb.sparkSession
         cdf = spark.createDataFrame(
@@ -269,7 +307,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              for cid in sorted(cents)], "cent_id int, cv array<double>")
         qv = (assign.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
               .select(F.col("vec_id").alias("query_id"),
-                      F.col("v").alias("qv")))
+                      F.col("v").alias("qv"), F.col("_nv").alias("_nq")))
         psim = fround(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 4)
         pw = Window.partitionBy("query_id").orderBy(
             F.desc("_ps"), F.asc("cent_id"))
@@ -277,10 +315,10 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              .withColumn("_ps", psim)
              .withColumn("_pr", F.row_number().over(pw))
              .filter(F.col("_pr") <= int(nprobe))
-             .select("query_id", F.col("cent_id").alias("qc"), "qv"))
+             .select("query_id", F.col("cent_id").alias("qc"), "qv", "_nq"))
     joined = assign.join(F.broadcast(q), (F.col("cent_id") == F.col("qc"))
                          & (F.col("vec_id") != F.col("query_id")))
-    sim = fround(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+    sim = fround(_dot("v", "qv") / (F.col("_nv") * F.col("_nq")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (joined.withColumn("cos_sim", sim)
             .withColumn("_rn", F.row_number().over(w))
@@ -313,10 +351,15 @@ def lsh_neardup_pairs(emb: DataFrame, planes: list[list[float]],
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"))
             .distinct())
-    e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
-    sim = fround(_dot("av", "bv") / (_norm("av") * _norm("bv")), 4)
+    # norms precomputed once per vector side (r7, see cosine_topk) —
+    # same doubles, same multiply order, identical rounded scores
+    e = (emb.select("vec_id", _as_double("embedding").alias("v"))
+         .withColumn("_nv", _norm("v")))
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"),
+                  F.col("_nv").alias("_na"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"),
+                  F.col("_nv").alias("_nb"))
+    sim = fround(_dot("av", "bv") / (F.col("_na") * F.col("_nb")), 4)
     return (cand.join(va, "vec_a").join(vb, "vec_b")
             .withColumn("cos_sim", sim)
             .filter(F.col("cos_sim") >= threshold)
@@ -324,12 +367,16 @@ def lsh_neardup_pairs(emb: DataFrame, planes: list[list[float]],
 
 
 def _cosine_pairs_exact(e: DataFrame, threshold: float) -> DataFrame:
-    a, b = e.alias("a"), e.alias("b")
+    # norm once per vector BEFORE the quadratic self-join (r7): inlined,
+    # ‖v‖ was folded once per PAIR side — O(block²·d) work for O(block·d)
+    # values; same doubles, same multiply order, identical rounded scores
+    en = e.withColumn("_nv", F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, v: acc + v * v)))
+    a, b = en.alias("a"), en.alias("b")
     sim = fround(
         F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                     F.lit(0.0), lambda acc, v: acc + v)
-        / (F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, v: acc + v * v))
-           * F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, v: acc + v * v))), 4)
+        / (F.col("a._nv") * F.col("b._nv")), 4)
     return (a.join(b, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .withColumn("cos_sim", sim)
@@ -383,9 +430,12 @@ def cosine_pairs_same_label(emb: DataFrame, threshold: float = 0.95,
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"))
             .distinct())
-    va = hotd.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
-    vb = hotd.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
-    sim = fround(_dot("av", "bv") / (_norm("av") * _norm("bv")), 4)
+    hotn = hotd.withColumn("_nv", _norm("v"))
+    va = hotn.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"),
+                     F.col("_nv").alias("_na"))
+    vb = hotn.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"),
+                     F.col("_nv").alias("_nb"))
+    sim = fround(_dot("av", "bv") / (F.col("_na") * F.col("_nb")), 4)
     routed = (cand.join(va, "vec_a").join(vb, "vec_b")
               .withColumn("cos_sim", sim)
               .filter(F.col("cos_sim") >= threshold)

@@ -30,7 +30,11 @@ __all__ = ["salted_count", "salted_agg_sum", "repartition_by_conv", "fan_out"]
 # mid-pipeline, where the probe would silently finalize AQE query stages.
 _SCAN_SAFE_NODES = frozenset(
     {"Relation", "LogicalRDD", "Range", "Project", "Filter",
-     "SubqueryAlias", "DeduplicateWithinWatermark"})
+     "SubqueryAlias", "DeduplicateWithinWatermark",
+     # r7 ADVICE: legitimate leaf sources that used to hard-fail —
+     # createDataFrame scans and cached scans are as probe-safe as a
+     # parquet Relation (no exchange can exist below a leaf)
+     "LocalRelation", "InMemoryRelation"})
 
 
 def _assert_scan_site(df: DataFrame) -> None:

@@ -61,7 +61,7 @@ def test_repeated_spans_match_duckdb(spark, k, min_repeats):
                  substr(md5(array_to_string(
                      list_slice(arr, CAST(i AS INTEGER),
                                 CAST(i + {k} - 1 AS INTEGER)), ' ')),
-                        1, 8) AS h
+                        1, 16) AS h
           FROM (SELECT doc_id, arr,
                        unnest(range(1, len(arr) - {k} + 2)) AS i FROM t)),
     d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= {min_repeats}),
