@@ -7,16 +7,16 @@ Ranks are fround-ed to 6 dp after every iteration so the computation is
 bit-reproducible across engines (the DuckDB oracle unrolls the same
 iterations — the IVF-Lloyd replay pattern).
 
-Scale: the edge list is degree-annotated and materialized ONCE
-(``localCheckpoint`` — r7: it replaced ``persist`` so there is no
-columnar cache to build or leak, and every iteration job plans against a
-leaf instead of re-analyzing the full upstream lineage) and reused every
+Scale: the incoming edge list is checkpointed FIRST (r7 — its lineage
+appears twice in the undirected union, so without this the full upstream
+pipeline evaluates per reference and every iteration job re-analyzes it),
+then the degree-annotated edge list is persisted and reused every
 iteration (pre-joining deg keeps each iteration to ONE join); rank state
 is a (node, rank) table, never driver-side. The iteration count is fixed
 and small (PageRank on KG entity graphs is used as a feature, not run to
 convergence). The final rank table is materialized via
-``localCheckpoint`` (same lifecycle as canonicalize.py's connected
-components).
+``localCheckpoint`` and the edge cache released before returning (same
+lifecycle as canonicalize.py's connected components).
 """
 
 from __future__ import annotations
@@ -60,13 +60,16 @@ def pagerank(edges: DataFrame, iters: int = 3,
     if not directed:
         g = g.unionByName(edges.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst")))
-    # checkpoint the DEGREE-ANNOTATED edge list: pre-joining deg once (r5)
+    # persist the DEGREE-ANNOTATED edge list: pre-joining deg once (r5)
     # removes one join — and its exchanges — from EVERY iteration; the
-    # contribution arithmetic is unchanged (rank/deg per edge).
-    # localCheckpoint (r7) replaces persist(): same reuse, no columnar
-    # cache-build overhead, and iteration plans start from a leaf.
+    # contribution arithmetic is unchanged (rank/deg per edge). persist
+    # (not localCheckpoint) deliberately: iteration joins against an
+    # InMemoryRelation plan measurably fewer AQE stage jobs per round
+    # than against a checkpointed RDD leaf (8 vs 10/iter, the
+    # tests/test_graph.py ceiling) — the lineage above it is already a
+    # one-line checkpoint scan, so the r6 cache-lifetime concern is gone.
     deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    gd = g.join(deg, "src").localCheckpoint(eager=True)
+    gd = g.join(deg, "src").persist()
     # every edge survives into gd (its src has deg ≥ 1), so gd covers the
     # full node set on both endpoints
     nodes = (gd.select(F.col("src").alias("node"))
@@ -75,10 +78,18 @@ def pagerank(edges: DataFrame, iters: int = 3,
     n = nodes.count()
     ranks = nodes.withColumn("rank", fround(F.lit(1.0 / n), 6))
     base = (1.0 - damping) / n
-    # out-degree node set for the dangling anti-join, derived from the
-    # PERSISTED gd (deriving it from g would re-run the edge lineage —
-    # the whole extraction — once per iteration)
-    src_nodes = gd.select("src").distinct() if directed else None
+    # the DANGLING node set (no out-edges) is iteration-invariant —
+    # compute it ONCE (r7; it used to be re-derived per iteration as an
+    # anti-join against the out-degree set); each iteration then sums
+    # ranks over a broadcast semi-join against this tiny checkpointed
+    # set — identical rows, identical sum
+    dang_nodes = None
+    if directed:
+        src_nodes = gd.select("src").distinct()
+        dang_nodes = (nodes.join(src_nodes,
+                                 nodes["node"] == src_nodes["src"],
+                                 "left_anti")
+                      .localCheckpoint(eager=True))
     for _ in range(iters):
         contribs = (gd
                     .join(ranks, gd["src"] == ranks["node"])
@@ -90,9 +101,7 @@ def pagerank(edges: DataFrame, iters: int = 3,
             # collected, dropping the per-iteration driver job; the
             # arithmetic is unchanged (same sum, same double division by
             # n, fround after), so the gate stays hash-exact
-            dang = (ranks.join(src_nodes,
-                               ranks["node"] == src_nodes["src"],
-                               "left_anti")
+            dang = (ranks.join(F.broadcast(dang_nodes), "node", "semi")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")))
             sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
             ranks = (nodes.join(sums, "node", "left")
@@ -114,4 +123,5 @@ def pagerank(edges: DataFrame, iters: int = 3,
                      .agg(fround(F.lit(base) + F.lit(damping) * F.sum("c"), 6)
                           .alias("rank")))
     ranks = ranks.localCheckpoint(eager=True)
+    gd.unpersist()
     return ranks

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "asof_join", "asof_join_tagged"]
+__all__ = ["sessionize", "asof_join"]
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30,
@@ -73,53 +73,6 @@ def asof_join(left: DataFrame, right: DataFrame, by: str = "user_id",
     and the lowest forward."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
-    u, lcols, chosen = _asof_chosen(left, right, [direction], by, ts,
-                                    right_id, tolerance_us)
-    return (u.withColumn(out_col, chosen[direction])
-            .filter(F.col("_tag") == 1)
-            .select(*lcols, out_col))
-
-
-def asof_join_tagged(left: DataFrame, right: DataFrame,
-                     directions: list[str], by: str = "user_id",
-                     ts: str = "ts", right_id: str = "event_id",
-                     out_col: str = "asof_id",
-                     direction_col: str = "direction",
-                     tolerance_us: int | None = None) -> DataFrame:
-    """Several as-of ``directions`` against the SAME right side in ONE
-    plan (r7, guide §2.4 "two operations keyed the same way share one
-    exchange"): every direction's candidate rides the single ``by`` hash
-    exchange — backward/forward are each one sorted window scan over it,
-    nearest reuses both — and the per-direction answers explode into
-    ``(…left cols…, direction, asof_id)`` rows. Row-for-row identical to
-    unioning per-direction :func:`asof_join` calls (the union paid the
-    exchange + the window sorts once PER direction)."""
-    for d in directions:
-        if d not in ("backward", "forward", "nearest"):
-            raise ValueError(f"unknown direction {d!r}")
-    u, lcols, chosen = _asof_chosen(left, right, directions, by, ts,
-                                    right_id, tolerance_us)
-    # window expressions must land in a Window node before the explode
-    # can reference them — materialize each direction's answer as a
-    # column first, then explode plain column references
-    for d in directions:
-        u = u.withColumn(f"_asof_{d}", chosen[d])
-    tagged = F.explode(F.array(*[
-        F.struct(F.lit(d).alias(direction_col),
-                 F.col(f"_asof_{d}").alias(out_col))
-        for d in directions])).alias("_d")
-    return (u.filter(F.col("_tag") == 1)
-            .select(*lcols, tagged)
-            .select(*lcols, f"_d.{direction_col}", f"_d.{out_col}"))
-
-
-def _asof_chosen(left: DataFrame, right: DataFrame, directions: list[str],
-                 by: str, ts: str, right_id: str,
-                 tolerance_us: int | None):
-    """The shared union-tag scan: returns (tagged union frame, left cols,
-    {direction: chosen-rid column}). Backward/forward each need one
-    window scan; nearest composes the two — so a multi-direction caller
-    pays at most two sorts over ONE exchange."""
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     r = right.select(F.col(by).alias("_by"), us.alias("_us"),
                      F.col(right_id).alias("_rid"),
@@ -151,30 +104,21 @@ def _asof_chosen(left: DataFrame, right: DataFrame, directions: list[str],
             ok = ok & (delta <= F.lit(int(tolerance_us)))
         return ok
 
-    need_b = any(d in ("backward", "nearest") for d in directions)
-    need_f = any(d in ("forward", "nearest") for d in directions)
-    # materialize each scan's candidate ONCE as a column: embedding the
-    # window expression into every direction's chosen-expression would
-    # plant a separate Window(+Sort) node per reference — forward+nearest
-    # measured THREE sorts instead of two that way
-    b = f = None
-    if need_b:
-        u = u.withColumn("_cb", F.last("_r", ignorenulls=True).over(wb))
-        b = F.col("_cb")
-    if need_f:
-        u = u.withColumn("_cf", F.last("_r", ignorenulls=True).over(wf))
-        f = F.col("_cf")
-    chosen: dict[str, F.Column] = {}
-    for d in directions:
-        if d == "backward":
-            chosen[d] = F.when(_gate(b, F.col("_us") - b["us"]), b["rid"])
-        elif d == "forward":
-            chosen[d] = F.when(_gate(f, f["us"] - F.col("_us")), f["rid"])
-        else:
-            db, df = F.col("_us") - b["us"], f["us"] - F.col("_us")
-            b_ok, f_ok = _gate(b, db), _gate(f, df)
-            chosen[d] = (F.when(b_ok & f_ok,
-                                F.when(df < db, f["rid"]).otherwise(b["rid"]))
-                         .when(b_ok, b["rid"])
-                         .when(f_ok, f["rid"]))
-    return u, lcols, chosen
+    if direction == "backward":
+        cand = F.last("_r", ignorenulls=True).over(wb)
+        chosen = F.when(_gate(cand, F.col("_us") - cand["us"]), cand["rid"])
+    elif direction == "forward":
+        cand = F.last("_r", ignorenulls=True).over(wf)
+        chosen = F.when(_gate(cand, cand["us"] - F.col("_us")), cand["rid"])
+    else:
+        b = F.last("_r", ignorenulls=True).over(wb)
+        f = F.last("_r", ignorenulls=True).over(wf)
+        db, df = F.col("_us") - b["us"], f["us"] - F.col("_us")
+        b_ok, f_ok = _gate(b, db), _gate(f, df)
+        chosen = (F.when(b_ok & f_ok,
+                         F.when(df < db, f["rid"]).otherwise(b["rid"]))
+                  .when(b_ok, b["rid"])
+                  .when(f_ok, f["rid"]))
+    return (u.withColumn(out_col, chosen)
+            .filter(F.col("_tag") == 1)
+            .select(*lcols, out_col))

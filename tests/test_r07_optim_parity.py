@@ -6,8 +6,6 @@ replaced (the round's contract is plans change, values never do).
   column-comparison chain (the streaming admission path still uses the
   latter — this is the shared-definition guard the r7 rewrite would
   otherwise have lost).
-- asof_join_tagged: the fused forward+nearest scan ≡ the union of
-  per-direction asof_join calls.
 - duplication_fraction: NULL-text docs are excluded (no n_tokens=-1 /
   dup_frac=-0.0 leak through a curate max_dup_frac filter).
 - doc_linked / doc_cooccurrence: the in-row static-best formulation ≡
@@ -52,38 +50,6 @@ def test_minhash_est_array_matches_column_form(spark):
     mism = both.filter(col_est != arr_est).count()
     assert mism == 0
     assert both.count() > 0
-
-
-def test_asof_tagged_matches_per_direction_unions(spark):
-    from kglinker.ops.events import asof_join, asof_join_tagged
-    rows = [
-        (1, "2030-01-01 10:00:00", 7, "purchase", 1.0),
-        (2, "2030-01-01 09:00:00", 7, "click", 1.0),
-        (3, "2030-01-01 11:00:00", 7, "click", 1.0),
-        (4, "2030-01-01 10:00:00", 7, "click", 1.0),   # exact tie
-        (5, "2030-01-05 10:00:00", 8, "purchase", 1.0),  # no click in tol
-        (6, "2030-01-01 10:00:00", 8, "click", 1.0),
-        (7, "2030-01-02 12:00:00", 9, "purchase", 1.0),
-        (8, "2030-01-02 12:30:00", 9, "click", 1.0),
-    ]
-    ev = spark.createDataFrame(rows, "event_id long, ts string, "
-                                     "user_id long, event_type string, "
-                                     "value double") \
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    left = ev.filter(F.col("event_type") == "purchase")
-    click = ev.filter(F.col("event_type") == "click")
-    tol = 24 * 3600 * 1_000_000
-    want = set()
-    for d in ("forward", "nearest"):
-        for r in asof_join(left, click, direction=d,
-                           tolerance_us=tol).collect():
-            want.add((r["event_id"], r["user_id"], d, r["asof_id"]))
-    got = {(r["event_id"], r["user_id"], r["direction"], r["asof_id"])
-           for r in asof_join_tagged(left, click,
-                                     directions=["forward", "nearest"],
-                                     tolerance_us=tol)
-           .select("event_id", "user_id", "direction", "asof_id").collect()}
-    assert got == want and len(got) == 6
 
 
 def test_duplication_fraction_drops_null_text(spark):
