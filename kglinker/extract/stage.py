@@ -130,7 +130,15 @@ def extract_mentions(transcripts: DataFrame, artifacts_bcast,
     """
     spark = transcripts.sparkSession
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 2
+        # one partition per available core (r7; was 2×): conv_id is
+        # near-uniform (conversations are small and bounded — module
+        # doc), so the extra wave bought no skew smoothing and each
+        # extra task pays a fixed Python-batch + carry-resolution cost.
+        # Measured at sf0.1/210k turns: 1× 1.35 s, 2× 1.85 s, 4× 3.02 s
+        # median. Still cluster-relative, never a constant; a corpus
+        # with genuinely skewed conversation sizes can pass
+        # num_partitions explicitly.
+        num_partitions = spark.sparkContext.defaultParallelism
 
     def run(batches) -> "Iterator":
         # mapInArrow (r7, guide §4.2): batches stay Arrow end-to-end —
